@@ -1,0 +1,140 @@
+"""Typed configuration for the framework.
+
+One dataclass carries the full flag surface of the reference CLI
+(reference: master_thesis/data.py:319-370 declares the 22 data/optim flags;
+master_thesis/__main__.py:63-67 the run-mode flags). Field names match the
+reference flags one-to-one so CLI invocations port verbatim.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class Config:
+    # --- run mode (reference __main__.py:63-67) ---
+    test: bool = False
+    test_checkpoint: Optional[str] = None
+    chn: bool = False
+    chn_aligner: str = "cpn"  # {'cpn', 'dfpn'}
+    chn_aligner_checkpoint: Optional[str] = None
+
+    # --- data (reference data.py:319-366) ---
+    data_path: str = "./data"
+    data_ckpt_path: str = "./lightning_logs/data.ckpt"
+    image_resize: bool = True
+    min_mask_size: float = 0.05
+    max_mask_size: Optional[float] = 0.15
+    train_size: Tuple[int, int] = (256, 256)
+    test_size: Tuple[int, int] = (240, 480)
+    frames_n: int = 2
+    frames_spacing: int = 10
+    frames_randomize: bool = True
+    dilatation_filter_size: Tuple[int, int] = (3, 3)
+    dilatation_iterations: int = 4
+    p_simulator_bgs: float = 0.5
+    p_simulator_masks: float = 0.0
+    bgs_movement_params: Tuple[float, float, float] = (50, 0.10, 0.20)
+    masks_movement_params: Tuple[float, float, float] = (50, 0.10, 0.20)
+    batch_size: int = 8
+    num_workers: int = 0
+    train_max_iterations: int = 2000
+    validation_max_iterations: int = 200
+
+    # --- optimizer (reference data.py:367-369) ---
+    lr: float = 1e-4
+    lr_scheduler_step_size: int = 50
+    lr_scheduler_gamma: float = 0.5
+
+    # --- trainer (subset of pl.Trainer flags the reference README uses) ---
+    max_epochs: int = 100
+    default_root_dir: str = "./lightning_logs"
+    seed: int = 0
+    resume_from_checkpoint: Optional[str] = None
+
+    # --- TPU-native knobs (new; no reference equivalent) ---
+    compute_dtype: str = "bfloat16"  # dtype for conv compute inside models
+    param_dtype: str = "float32"
+    mesh_data: int = -1  # -1 = all devices on the data axis
+    mesh_model: int = 1
+    donate_buffers: bool = True
+    use_pallas: bool = True  # fused Pallas kernels on TPU for hot ops
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+
+    def __post_init__(self):
+        if self.chn and self.test:
+            # Full-video inference processes one sequence at a time
+            # (reference __main__.py:13-15 mutates config the same way).
+            self.batch_size = 1
+            self.frames_n = -1
+        self.train_size = tuple(self.train_size)
+        self.test_size = tuple(self.test_size)
+        self.dilatation_filter_size = tuple(self.dilatation_filter_size)
+        self.bgs_movement_params = tuple(self.bgs_movement_params)
+        self.masks_movement_params = tuple(self.masks_movement_params)
+
+    @staticmethod
+    def add_argparse_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        """Declares every flag with the reference's exact names/defaults."""
+        parser.add_argument("--test", action="store_true")
+        parser.add_argument("--test_checkpoint")
+        parser.add_argument("--chn", action="store_true")
+        parser.add_argument("--chn_aligner", choices=["dfpn", "cpn"], default="cpn")
+        parser.add_argument("--chn_aligner_checkpoint")
+
+        parser.add_argument("--data_path", default="./data")
+        parser.add_argument("--data_ckpt_path", default="./lightning_logs/data.ckpt")
+        parser.add_argument("--image_resize", type=bool, default=True)
+        parser.add_argument("--min_mask_size", type=float, default=0.05)
+        parser.add_argument("--max_mask_size", type=float, default=0.15)
+        parser.add_argument("--train_size", type=int, nargs="+", default=[256, 256])
+        parser.add_argument("--test_size", type=int, nargs="+", default=[240, 480])
+        parser.add_argument("--frames_n", type=int, default=2)
+        parser.add_argument("--frames_spacing", type=int, default=10)
+        parser.add_argument("--frames_randomize", type=bool, default=True)
+        parser.add_argument(
+            "--dilatation_filter_size", type=int, nargs="+", default=[3, 3]
+        )
+        parser.add_argument("--dilatation_iterations", type=int, default=4)
+        parser.add_argument("--p_simulator_bgs", type=float, default=0.5)
+        parser.add_argument("--p_simulator_masks", type=float, default=0.0)
+        parser.add_argument(
+            "--bgs_movement_params", type=float, nargs="+", default=[50, 0.10, 0.20]
+        )
+        parser.add_argument(
+            "--masks_movement_params", type=float, nargs="+", default=[50, 0.10, 0.20]
+        )
+        parser.add_argument("--batch_size", type=int, default=8)
+        parser.add_argument("--num_workers", type=int, default=0)
+        parser.add_argument("--train_max_iterations", type=int, default=2000)
+        parser.add_argument("--validation_max_iterations", type=int, default=200)
+        parser.add_argument("--lr", type=float, default=1e-4)
+        parser.add_argument("--lr_scheduler_step_size", type=int, default=50)
+        # The reference declares this flag as int with default 0.5
+        # (data.py:369) — we fix the latent type bug and use float.
+        parser.add_argument("--lr_scheduler_gamma", type=float, default=0.5)
+
+        parser.add_argument("--max_epochs", type=int, default=100)
+        parser.add_argument("--default_root_dir", default="./lightning_logs")
+        parser.add_argument("--seed", type=int, default=0)
+        parser.add_argument("--resume_from_checkpoint")
+
+        parser.add_argument("--compute_dtype", default="bfloat16")
+        parser.add_argument("--param_dtype", default="float32")
+        parser.add_argument("--mesh_data", type=int, default=-1)
+        parser.add_argument("--mesh_model", type=int, default=1)
+        parser.add_argument("--use_pallas", type=bool, default=True)
+        parser.add_argument("--profile_dir")
+        return parser
+
+    @classmethod
+    def from_args(cls, args: argparse.Namespace) -> "Config":
+        names = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in vars(args).items() if k in names}
+        return cls(**kwargs)
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)

@@ -1,0 +1,10 @@
+"""Pure-function ops library (the TPU-native analog of reference utils.py)."""
+
+from master_thesis_tpu.ops import (  # noqa: F401
+    flows,
+    interp,
+    losses,
+    measures,
+    movements,
+    transforms,
+)

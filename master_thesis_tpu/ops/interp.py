@@ -1,0 +1,97 @@
+"""Image resizing with exact torch ``F.interpolate`` semantics.
+
+The reference resizes with ``torch.nn.functional.interpolate`` in
+``bilinear`` (align_corners=False) and ``nearest`` (legacy asymmetric) modes
+throughout (reference: master_thesis/utils.py:489-508, :536-547, :583-593).
+PSNR parity requires bit-level agreement with those coordinate conventions,
+which differ from ``jax.image.resize``:
+
+- torch ``nearest``:  ``src = floor(dst * in / out)`` (asymmetric, no half-pixel
+  offset).
+- torch ``bilinear`` (align_corners=False): ``src = (dst + 0.5) * in/out - 0.5``
+  with edge clamping of the two gathered taps.
+- torch ``bilinear`` (align_corners=True): ``src = dst * (in-1)/(out-1)``.
+
+All index/weight tables are computed with numpy at trace time (shapes are
+static under jit), so each resize lowers to two gathers and a lerp per axis —
+fully fusable by XLA, no dynamic shapes.
+
+Layout: channel-last. ``resize_hw`` resizes the two axes *before* the last
+axis, i.e. works on ``(..., H, W, C)``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
+    # torch legacy 'nearest': floor(i * in / out)
+    idx = np.floor(np.arange(out_size) * (in_size / out_size)).astype(np.int64)
+    return np.clip(idx, 0, in_size - 1)
+
+
+def _linear_taps(
+    in_size: int, out_size: int, align_corners: bool
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (idx0, idx1, weight-of-idx1) for a 1-D linear resize."""
+    if align_corners and out_size > 1:
+        src = np.arange(out_size) * ((in_size - 1) / (out_size - 1))
+    elif align_corners:
+        src = np.zeros(out_size)
+    else:
+        src = (np.arange(out_size) + 0.5) * (in_size / out_size) - 0.5
+    src = np.clip(src, 0.0, max(in_size - 1, 0))
+    idx0 = np.floor(src).astype(np.int64)
+    idx0 = np.clip(idx0, 0, in_size - 1)
+    idx1 = np.clip(idx0 + 1, 0, in_size - 1)
+    w1 = (src - idx0).astype(np.float32)
+    return idx0, idx1, w1
+
+
+def _take(x: jnp.ndarray, idx: np.ndarray, axis: int) -> jnp.ndarray:
+    return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+
+def resize_axis_nearest(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
+    return _take(x, _nearest_indices(x.shape[axis], out_size), axis)
+
+
+def resize_axis_linear(
+    x: jnp.ndarray, out_size: int, axis: int, align_corners: bool = False
+) -> jnp.ndarray:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    idx0, idx1, w1 = _linear_taps(in_size, out_size, align_corners)
+    x0 = _take(x, idx0, axis)
+    x1 = _take(x, idx1, axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w1 = jnp.asarray(w1, dtype=x.dtype).reshape(shape)
+    return x0 * (1 - w1) + x1 * w1
+
+
+def resize_hw(
+    x: jnp.ndarray,
+    size: Sequence[int],
+    mode: str = "bilinear",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Resizes axes (-3, -2) of a channel-last array to ``size=(H', W')``."""
+    h, w = int(size[0]), int(size[1])
+    h_axis, w_axis = x.ndim - 3, x.ndim - 2
+    if mode == "nearest":
+        if x.shape[h_axis] != h:
+            x = resize_axis_nearest(x, h, h_axis)
+        if x.shape[w_axis] != w:
+            x = resize_axis_nearest(x, w, w_axis)
+        return x
+    if mode == "bilinear":
+        x = resize_axis_linear(x, h, h_axis, align_corners)
+        x = resize_axis_linear(x, w, w_axis, align_corners)
+        return x
+    raise ValueError(f"unknown resize mode: {mode}")

@@ -1,0 +1,193 @@
+"""Synthetic camera-motion simulator (TPU analog of reference MovementsUtils).
+
+Generates random affine camera paths, warps a single frame into an n-frame
+sequence, and returns the inverse flows as ground truth for DFPN's supervised
+flow loss (reference: utils.py:227-401). The affine matrix algebra and the
+warping run host-side in pure numpy (this executes inside data-pipeline
+worker threads; keeping it off-device avoids host->TPU ping-pong per sample),
+with coordinate conventions identical to the device ops in
+ops/grid_sample.py, so the produced ground-truth flows mean exactly the same
+thing as the flows DFPN predicts on device.
+
+Matrix convention: 3x3 homogeneous affine acting on pixel coordinates
+``(x, y, 1)``, composed like ``skimage.transform.AffineTransform(
+translation, scale, rotation).params``:
+
+    [[sx*cos r, -sy*sin r, tx],
+     [sx*sin r,  sy*cos r, ty],
+     [0,         0,         1]]
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class MovementSimulator:
+    """Random affine movement generator (reference utils.py:227-260)."""
+
+    def __init__(
+        self,
+        max_displacement: float,
+        max_scaling: float,
+        max_rotation: float,
+        rng: Optional[np.random.RandomState] = None,
+    ):
+        self.max_displacement = max_displacement
+        self.max_scaling = max_scaling
+        self.max_rotation = max_rotation
+        self.rng = rng if rng is not None else np.random.RandomState()
+
+    def random_affine(self) -> np.ndarray:
+        if self.max_displacement > 0:
+            tx, ty = self.rng.randint(
+                low=-int(self.max_displacement), high=int(self.max_displacement), size=2
+            )
+        else:
+            tx, ty = 0, 0
+        sx, sy = self.rng.uniform(
+            low=1 - self.max_scaling, high=1 + self.max_scaling, size=2
+        )
+        rot = self.rng.uniform(low=-self.max_rotation, high=self.max_rotation)
+        return affine_matrix(translation=(tx, ty), scale=(sx, sy), rotation=rot)
+
+    def simulate_movement(
+        self,
+        x: np.ndarray,
+        n: int,
+        affine_matrices: Optional[List[np.ndarray]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, List[np.ndarray]]:
+        """Warps frame ``x`` (H, W, C) into an ``n``-frame moving sequence.
+
+        Returns ``(y, flow_inv, affine_matrices)`` where ``y`` is
+        ``(n, H, W, C)`` and ``flow_inv`` is the ``(n, H, W, 2)`` ground-truth
+        inverse flow (reference utils.py:262-318).
+        """
+        h, w = x.shape[0], x.shape[1]
+        if affine_matrices is None:
+            mats = [self.random_affine() for _ in range(n - 1)]
+            affine_matrices = mats[: n // 2] + [identity_affine()] + mats[n // 2 :]
+        mats_inv = [np.linalg.inv(m) for m in affine_matrices]
+
+        stacked = stack_transformations(np.stack(affine_matrices), t=n // 2)
+        stacked_inv = stack_transformations(np.stack(mats_inv), t=n // 2)
+
+        theta = np.stack([affine2theta(m, h, w) for m in stacked])
+        theta_inv = np.stack([affine2theta(m, h, w) for m in stacked_inv])
+
+        flow = affine_grid_np(theta, (h, w), align_corners=True)
+        flow_inv = affine_grid_np(theta_inv, (h, w), align_corners=True)
+
+        y = grid_sample_bilinear_np(
+            np.repeat(x[None], n, axis=0), flow, align_corners=True
+        )
+        return y, flow_inv.astype(np.float32), affine_matrices
+
+
+def affine_matrix(
+    translation=(0.0, 0.0), scale=(1.0, 1.0), rotation: float = 0.0
+) -> np.ndarray:
+    sx, sy = scale
+    r = rotation
+    return np.array(
+        [
+            [sx * np.cos(r), -sy * np.sin(r), translation[0]],
+            [sx * np.sin(r), sy * np.cos(r), translation[1]],
+            [0.0, 0.0, 1.0],
+        ],
+        dtype=np.float64,
+    )
+
+
+def identity_affine() -> np.ndarray:
+    return np.eye(3, dtype=np.float64)
+
+
+def stack_transformations(affine_matrices: np.ndarray, t: int) -> np.ndarray:
+    """Composes per-step transforms outward from center frame ``t``.
+
+    ``out[i]`` maps target-frame coordinates to frame ``i``'s coordinates
+    (reference utils.py:347-377).
+    """
+    out = np.zeros_like(affine_matrices)
+    out[t] = affine_matrices[t]
+    for i in reversed(range(t)):
+        out[i] = np.linalg.inv(affine_matrices[i]) @ out[i + 1]
+    for i in range(t + 1, len(affine_matrices)):
+        out[i] = affine_matrices[i] @ out[i - 1]
+    return out
+
+
+def affine2theta(param: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Pixel-space 3x3 affine -> normalized 2x3 grid-generator matrix.
+
+    Same conversion as the reference (utils.py:379-401), valid for the
+    align_corners=True normalized coordinate system.
+    """
+    theta = np.zeros((2, 3))
+    theta[0, 0] = param[0, 0]
+    theta[0, 1] = param[0, 1] * h / w
+    theta[0, 2] = param[0, 2] * 2 / w + param[0, 0] + param[0, 1] - 1
+    theta[1, 0] = param[1, 0] * w / h
+    theta[1, 1] = param[1, 1]
+    theta[1, 2] = param[1, 2] * 2 / h + param[1, 0] + param[1, 1] - 1
+    return theta.astype(np.float32)
+
+
+def affine_grid_np(
+    theta: np.ndarray, size_hw: Tuple[int, int], align_corners: bool = True
+) -> np.ndarray:
+    """Numpy twin of ops.grid_sample.affine_grid: (N,2,3) -> (N,H,W,2)."""
+    h, w = size_hw
+    if align_corners:
+        xs = np.linspace(-1.0, 1.0, w)
+        ys = np.linspace(-1.0, 1.0, h)
+    else:
+        xs = (np.arange(w) * 2 + 1) / w - 1.0
+        ys = (np.arange(h) * 2 + 1) / h - 1.0
+    gx, gy = np.meshgrid(xs, ys)
+    base = np.stack([gx, gy, np.ones_like(gx)], axis=-1)  # (H, W, 3)
+    return np.einsum("nij,hwj->nhwi", theta.astype(np.float64), base).astype(
+        np.float32
+    )
+
+
+def grid_sample_bilinear_np(
+    x: np.ndarray, grid: np.ndarray, align_corners: bool = True
+) -> np.ndarray:
+    """Numpy twin of ops.grid_sample.grid_sample (bilinear, zeros padding).
+
+    x: (N, H, W, C); grid: (N, H', W', 2) with (x, y) in [-1, 1].
+    """
+    n, h, w, c = x.shape
+    gx = grid[..., 0].astype(np.float64)
+    gy = grid[..., 1].astype(np.float64)
+    if align_corners:
+        fx = (gx + 1) * 0.5 * (w - 1)
+        fy = (gy + 1) * 0.5 * (h - 1)
+    else:
+        fx = ((gx + 1) * w - 1) * 0.5
+        fy = ((gy + 1) * h - 1) * 0.5
+
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    wx = (fx - x0)[..., None]
+    wy = (fy - y0)[..., None]
+
+    def gather(iy, ix):
+        valid = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+        iy_c = np.clip(iy, 0, h - 1)
+        ix_c = np.clip(ix, 0, w - 1)
+        batch = np.arange(n).reshape(n, 1, 1)
+        vals = x[batch, iy_c, ix_c]  # (N, H', W', C)
+        return np.where(valid[..., None], vals, 0.0)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return (top * (1 - wy) + bot * wy).astype(x.dtype)
