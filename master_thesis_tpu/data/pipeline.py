@@ -1,0 +1,397 @@
+"""Host data pipeline (TPU analog of reference dataset.py + DataLoader use).
+
+Pure numpy + cv2 on host threads: decode, window sampling, movement
+simulation, mask dilation and gray-fill compositing all happen on CPU, and
+the loader hands the device fixed-shape float32 batches ``(B, F, H, W, C)``
+ready for a single host->device transfer per step (SURVEY §3.5: the
+reference's hot host loop is JPEG decode + dilation in DataLoader workers;
+here a thread pool prefetches whole batches ahead of the train step).
+
+Randomness is explicit: every item draw takes a ``numpy.random.RandomState``
+derived from ``(seed, epoch, item)`` instead of the reference's global
+process-wide reseeding (data.py:195-203), making runs reproducible.
+
+Layouts: backgrounds ``(F, H, W, 3)`` float32 in [0, 1]; masks
+``(F, H, W, 1)`` float32 binary; flows ``(F, H, W, 2)``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from master_thesis_tpu.ops import interp
+from master_thesis_tpu.ops.movements import MovementSimulator
+
+FILL_COLOR = np.asarray([0.485, 0.456, 0.406], dtype=np.float32)
+
+
+def _resize_keep_ratio(img: np.ndarray, size, mode="bilinear") -> np.ndarray:
+    """Reference TransformsUtils.resize keep_ratio branch incl. the
+    ``size=(H', -1)`` drop-last-column quirk (utils.py:485-491)."""
+    h, w = img.shape[-3], img.shape[-2]
+    if size[1] == -1:
+        new_size = (size[0], round(w * size[0] / h))
+        out = interp.resize_hw_np(img, new_size, mode=mode)
+        return out[..., : size[0], : size[1], :]
+    new_h = size[0] if h < w else round(h * size[1] / w)
+    new_w = size[1] if w <= h else round(w * size[0] / h)
+    out = interp.resize_hw_np(img, (new_h, new_w), mode=mode)
+    return out[..., : size[0], : size[1], :]
+
+
+def dilate_np(mask: np.ndarray, filter_size, iterations: int) -> np.ndarray:
+    """cv2 cross-kernel dilation per frame (reference utils.py:618-640).
+
+    mask: ``(F, H, W, 1)``.
+    """
+    import cv2
+
+    kernel = cv2.getStructuringElement(cv2.MORPH_CROSS, tuple(filter_size))
+    out = np.empty_like(mask)
+    for f in range(mask.shape[0]):
+        out[f, :, :, 0] = cv2.dilate(mask[f, :, :, 0], kernel, iterations=iterations)
+    return out
+
+
+class ContentProvider:
+    """Flat frame index over sequences of backgrounds and/or masks
+    (reference dataset.py:222-605)."""
+
+    def __init__(
+        self,
+        dataset_meta: Dict[str, Tuple[Optional[list], Optional[list]]],
+        data_path: str,
+        movement_min_height: int = -1,
+        movement_simulator: Optional[MovementSimulator] = None,
+        frames_spacing: int = 10,
+        frames_randomize: bool = True,
+    ):
+        self.dataset_meta = dataset_meta
+        self.data_path = data_path
+        self.movement_min_height = movement_min_height
+        self.movement_simulator = movement_simulator
+        self.frames_spacing = frames_spacing
+        self.frames_randomize = frames_randomize
+        self.items_names = list(dataset_meta.keys())
+        self.items_limits = np.cumsum(
+            [
+                len(dataset_meta[n][0])
+                if dataset_meta[n][0] is not None
+                else len(dataset_meta[n][1])
+                for n in self.items_names
+            ]
+        )
+
+    def __len__(self) -> int:
+        return int(self.items_limits[-1])
+
+    def len_sequences(self) -> int:
+        return len(self.items_names)
+
+    # -- decoding -----------------------------------------------------------
+
+    def _decode_bg(self, rel_path: str) -> np.ndarray:
+        import cv2
+
+        img = cv2.imread(os.path.join(self.data_path, rel_path), cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(rel_path)
+        return (img[:, :, ::-1].astype(np.float32)) / 255.0  # BGR -> RGB
+
+    def _decode_mask(self, rel_path: str) -> np.ndarray:
+        import cv2
+
+        img = cv2.imread(os.path.join(self.data_path, rel_path), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(rel_path)
+        return (img > 0).astype(np.float32)[..., None]
+
+    def _locate(self, item: int) -> Tuple[int, int]:
+        seq = int(np.searchsorted(self.items_limits, item, side="right"))
+        first = int(self.items_limits[seq - 1]) if seq > 0 else 0
+        return seq, item - first
+
+    def get_frame(self, item: int):
+        """Single frame -> ``(bg | None, mask | None, name)``."""
+        seq, fi = self._locate(item)
+        name = self.items_names[seq]
+        bg_paths, mask_paths = self.dataset_meta[name]
+        y = self._decode_bg(bg_paths[fi]) if bg_paths is not None else None
+        m = self._decode_mask(mask_paths[fi]) if mask_paths is not None else None
+        return y, m, name
+
+    def get_items(self, frames_indexes: List[int]):
+        ys, ms = [], []
+        for i in frames_indexes:
+            y, m, _ = self.get_frame(i)
+            ys.append(y)
+            ms.append(m)
+        y = np.stack(ys) if ys[0] is not None else None
+        m = np.stack(ms) if ms[0] is not None else None
+        return y, m
+
+    # -- sequence / patch sampling -----------------------------------------
+
+    def get_sequence(self, sequence_index: int):
+        """Full clip for test-time inpainting (reference dataset.py:372-409)."""
+        first = int(self.items_limits[sequence_index - 1]) if sequence_index > 0 else 0
+        last = int(self.items_limits[sequence_index]) - 1
+        frames_indexes = list(range(first, last + 1))
+        y, m = self.get_items(frames_indexes)
+        ref = y if y is not None else m
+        gt_movement = np.zeros((len(frames_indexes), ref.shape[1], ref.shape[2], 2), np.float32)
+        m_movement = (
+            np.zeros((len(frames_indexes), m.shape[1], m.shape[2], 2), np.float32)
+            if m is not None
+            else gt_movement
+        )
+        return y, m, self.items_names[sequence_index], frames_indexes, gt_movement, m_movement
+
+    def get_patch(self, frame_index: int, frames_n: int, use_simulator: bool, rng):
+        if use_simulator and self.movement_simulator is not None:
+            return self._get_patch_simulated(frame_index, frames_n, rng)
+        return self._get_patch_contiguous(frame_index, frames_n, rng)
+
+    def get_patch_random(self, frames_n: int, use_simulator: bool, rng):
+        return self.get_patch(rng.randint(0, len(self)), frames_n, use_simulator, rng)
+
+    def _get_patch_contiguous(self, frame_index: int, frames_n: int, rng):
+        """Window of frames around a center (reference dataset.py:473-561)."""
+        if not (frames_n % 2 == 1 or frames_n == 2):
+            raise ValueError("frames_n must be 2 or an odd number")
+        seq, _ = self._locate(frame_index)
+        first = int(self.items_limits[seq - 1]) if seq > 0 else 0
+        last = int(self.items_limits[seq]) - 1
+
+        spacing = self.frames_spacing
+        pre = [max(i, first) for i in range(frame_index - (frames_n // 2) * spacing, frame_index)]
+        post = [
+            min(i, last)
+            for i in range(frame_index + 1, frame_index + (frames_n // 2) * spacing + 1)
+        ]
+
+        if self.frames_randomize:
+            candidates = set(pre) | set(post)
+            candidates.discard(frame_index)
+            chosen = sorted(rng.choice(sorted(candidates), frames_n - 1, replace=False).tolist())
+            frames_indexes = chosen[: frames_n // 2] + [frame_index] + chosen[frames_n // 2 :]
+        else:
+            before = pre[::spacing]
+            after = post[::spacing] if frames_n > 2 else []
+            frames_indexes = before + [frame_index] + after
+
+        y, m = self.get_items(frames_indexes)
+        ref = y if y is not None else m
+        gt_movement = np.zeros((len(frames_indexes), ref.shape[1], ref.shape[2], 2), np.float32)
+        m_movement = (
+            np.zeros((len(frames_indexes), m.shape[1], m.shape[2], 2), np.float32)
+            if m is not None
+            else None
+        )
+        return y, m, self.items_names[seq], frames_indexes, gt_movement, m_movement
+
+    def _get_patch_simulated(self, frame_index: int, frames_n: int, rng):
+        """Single frame + synthetic camera path (reference dataset.py:563-605)."""
+        y, m, name = self.get_frame(frame_index)
+        gt_movement, m_movement, mats = None, None, None
+        sim = self.movement_simulator
+        sim.rng = rng  # draw transforms from the item's stream
+
+        if y is not None:
+            if self.movement_min_height != -1 and y.shape[0] < self.movement_min_height:
+                y = _resize_keep_ratio(y, (self.movement_min_height, -1))
+            y, gt_movement, mats = sim.simulate_movement(y, frames_n)
+        if m is not None:
+            m, m_movement, _ = sim.simulate_movement(m, frames_n, mats)
+            m = (m > 0.5).astype(np.float32)
+        return y, m, name, None, gt_movement, m_movement
+
+
+class InpaintingDataset:
+    """Produces one training/eval item (reference dataset.py:16-219).
+
+    An item is ``((x, m), y, info)``: the gray-filled masked sequence, the
+    dilated mask, the clean background, and auxiliary info (names, window
+    indexes, simulator flags, ground-truth flows).
+    """
+
+    def __init__(
+        self,
+        bgs_provider: ContentProvider,
+        masks_provider: Optional[ContentProvider],
+        split: str,
+        cfg,
+    ):
+        self.bgs = bgs_provider
+        self.masks = masks_provider
+        self.split = split
+        self.cfg = cfg
+        self.image_size = (
+            tuple(cfg.train_size) if split in ("train", "validation") else tuple(cfg.test_size)
+        )
+
+    def __len__(self) -> int:
+        if self.cfg.frames_n == -1:
+            return self.bgs.len_sequences()
+        if self.split == "train":
+            return self.cfg.batch_size * self.cfg.train_max_iterations
+        if self.split == "validation":
+            return self.cfg.batch_size * self.cfg.validation_max_iterations
+        return self.cfg.batch_size
+
+    def get_item(self, item: int, rng: np.random.RandomState):
+        cfg = self.cfg
+        if cfg.frames_n != -1:
+            item = rng.randint(0, len(self.bgs))
+
+        use_sim_bgs = bool(
+            rng.choice([False, True], p=[1 - cfg.p_simulator_bgs, cfg.p_simulator_bgs])
+        )
+        use_sim_masks = bool(
+            rng.choice([False, True], p=[1 - cfg.p_simulator_masks, cfg.p_simulator_masks])
+        )
+        if self.bgs.movement_simulator is None:
+            use_sim_bgs = False
+        if self.masks is None or self.masks.movement_simulator is None:
+            use_sim_masks = False
+
+        if cfg.frames_n == -1:
+            y, m, bg_name, bg_indexes, gt_movement, m_movement = self.bgs.get_sequence(item)
+        else:
+            y, m, bg_name, bg_indexes, gt_movement, m_movement = self.bgs.get_patch(
+                item, cfg.frames_n, use_sim_bgs, rng
+            )
+            if self.masks is not None:
+                _, m, _, _, _, m_movement = self.masks.get_patch_random(
+                    cfg.frames_n, use_sim_masks, rng
+                )
+
+        # Resize-or-crop to the working resolution (reference dataset.py:135-156).
+        if cfg.image_resize:
+            y = interp.resize_hw_np(y, self.image_size, mode="bilinear")
+            gt_movement = interp.resize_hw_np(gt_movement, self.image_size, mode="nearest")
+        else:
+            ph = rng.randint(0, y.shape[1] - self.image_size[0] + 1)
+            pw = rng.randint(0, y.shape[2] - self.image_size[1] + 1)
+            from master_thesis_tpu.ops import flows as flows_ops
+            import jax.numpy as jnp
+
+            y = y[:, ph : ph + self.image_size[0], pw : pw + self.image_size[1]]
+            gt_movement = np.asarray(
+                flows_ops.crop_flow(
+                    jnp.asarray(gt_movement[None]), self.image_size, (ph, pw)
+                )
+            )[0]
+
+        if self.image_size != (m.shape[1], m.shape[2]):
+            m = interp.resize_hw_np(m, self.image_size, mode="nearest")
+            if m_movement is not None:
+                m_movement = interp.resize_hw_np(m_movement, self.image_size, mode="nearest")
+        if m_movement is None:
+            m_movement = np.zeros_like(gt_movement)
+
+        m = dilate_np(m, cfg.dilatation_filter_size, cfg.dilatation_iterations)
+
+        # Gray-fill compositing (reference dataset.py:164-169).
+        x = (1 - m) * y + m * FILL_COLOR
+
+        if bg_indexes:
+            center = bg_indexes[len(bg_indexes) // 2]
+            indexes_str = ",".join(str(i - center) for i in bg_indexes)
+        else:
+            indexes_str = ",".join("-" for _ in range(cfg.frames_n))
+
+        return (
+            (x.astype(np.float32), m.astype(np.float32)),
+            y.astype(np.float32),
+            {
+                "name": bg_name,
+                "indexes": indexes_str,
+                "use_sim_bgs": use_sim_bgs,
+                "use_sim_masks": use_sim_masks,
+                "gt_movement": gt_movement.astype(np.float32),
+                "m_movement": m_movement.astype(np.float32),
+            },
+        )
+
+
+class Loader:
+    """Thread-prefetching batch loader.
+
+    Produces dict batches of stacked numpy arrays; a background thread pool
+    keeps ``prefetch`` batches ready so the accelerator never waits on
+    decode (the reference relies on torch DataLoader worker processes for
+    this; threads suffice here because cv2/numpy release the GIL).
+    """
+
+    def __init__(
+        self,
+        dataset: InpaintingDataset,
+        batch_size: int,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _make_batch(self, batch_idx: int) -> Dict[str, np.ndarray]:
+        items = []
+        for j in range(self.batch_size):
+            item = batch_idx * self.batch_size + j
+            rng = np.random.RandomState(
+                (self.seed * 1_000_003 + self.epoch * 7_919 + item) % (2**31 - 1)
+            )
+            items.append(self.dataset.get_item(item, rng))
+        xs = np.stack([it[0][0] for it in items])
+        ms = np.stack([it[0][1] for it in items])
+        ys = np.stack([it[1] for it in items])
+        infos = [it[2] for it in items]
+        return {
+            "x": xs,
+            "m": ms,
+            "y": ys,
+            "flows_use": np.asarray([i["use_sim_bgs"] for i in infos], np.bool_),
+            "flow_gt": np.stack([i["gt_movement"] for i in infos]),
+            "m_movement": np.stack([i["m_movement"] for i in infos]),
+            "names": [i["name"] for i in infos],
+            "indexes": [i["indexes"] for i in infos],
+        }
+
+    def __iter__(self):
+        n_batches = len(self)
+        if self.num_workers <= 1:
+            for b in range(n_batches):
+                yield self._make_batch(b)
+            self.epoch += 1
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = []
+            next_submit = 0
+            window = self.num_workers + self.prefetch
+            while next_submit < min(window, n_batches):
+                pending.append(pool.submit(self._make_batch, next_submit))
+                next_submit += 1
+            while pending:
+                fut = pending.pop(0)
+                if next_submit < n_batches:
+                    pending.append(pool.submit(self._make_batch, next_submit))
+                    next_submit += 1
+                yield fut.result()
+        self.epoch += 1

@@ -1,0 +1,291 @@
+"""Dense Flow Prediction Network (DFPN) in flax.
+
+TPU re-design of the reference DFPN stack (model_dfpn.py:14-743): a VGG
+correlation volume filled by a separable 4-D conv, a correlation->flow mixer,
+and two cascaded flow refiners at 64 and 256 resolution. Layout is NHWC with
+frames folded into batch; the 4-D cost volume is computed as one batched
+MXU matmul (see ``correlation_masked_4d``).
+
+The VGG feature extractor is passed in as ``(apply_fn, params)`` frozen
+state: features are always computed under ``stop_gradient`` (the reference
+wraps them in ``torch.no_grad``, model_dfpn.py:510-515).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from master_thesis_tpu.models.nn_ext import Conv, ConvTranspose2dTorch
+from master_thesis_tpu.models.vgg import IMAGENET_MEAN, IMAGENET_STD
+from master_thesis_tpu.ops import flows as flows_ops
+from master_thesis_tpu.ops import transforms
+
+
+def correlation_masked_4d(
+    x_target_feats: jnp.ndarray,
+    v_target: Optional[jnp.ndarray],
+    x_ref_feats: jnp.ndarray,
+    v_ref: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Masked cosine-similarity cost volume (reference model_dfpn.py:534-565).
+
+    Args:
+        x_target_feats: ``(B, H, W, C)`` target features (NHWC).
+        v_target: optional ``(B, H, W, 1)`` visibility.
+        x_ref_feats: ``(B, F, H, W, C)`` reference features.
+        v_ref: optional ``(B, F, H, W, 1)`` visibilities.
+
+    Returns:
+        ``(B, F, H, W, H, W)`` correlation volume: position ``(p, q)`` holds
+        the cosine similarity of target pixel p's feature with ref pixel q's.
+    """
+    b, f, h, w, c = x_ref_feats.shape
+    if v_target is not None:
+        x_target_feats = x_target_feats * v_target
+    if v_ref is not None:
+        x_ref_feats = x_ref_feats * v_ref
+
+    t = x_target_feats.reshape(b, h * w, c).astype(jnp.float32)
+    t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-9)
+    r = x_ref_feats.reshape(b, f, h * w, c).astype(jnp.float32)
+    r = r / (jnp.linalg.norm(r, axis=-1, keepdims=True) + 1e-9)
+
+    # (B, 1, HW, C) x (B, F, C, HW) -> (B, F, HW, HW): one batched MXU matmul.
+    corr = jnp.einsum(
+        "bpc,bfqc->bfpq", t, r, precision=jax.lax.Precision.HIGHEST
+    )
+    return corr.reshape(b, f, h, w, h, w)
+
+
+class SeparableConv4d(nn.Module):
+    """4-D conv separated into two 2-D conv stacks over the cost volume's two
+    spatial sub-spaces (reference model_dfpn.py:586-626).
+
+    Input/output: ``(B, F, H, W, H, W)`` = (b, f, p-space, q-space).
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, corr):
+        b, f, h, w, _, _ = corr.shape
+        c3 = lambda feats, name: Conv(
+            features=feats, kernel_size=(3, 3), padding=(1, 1), dtype=self.dtype,
+            name=name,
+        )
+        # Stage 1: conv over q-space, batch = (b, f, p).
+        x = corr.reshape(b * f * h * w, h, w, 1).astype(self.dtype)
+        x = nn.relu(c3(128, "conv1_0")(x))
+        x = nn.relu(c3(256, "conv1_1")(x))
+        x = c3(256, "conv1_2")(x)  # (b*f*p, h, w, 256)
+
+        # Swap: batch becomes (b, f, q), spatial becomes p-space.
+        x = x.reshape(b, f, h * w, h * w, 256)
+        x = x.transpose(0, 1, 3, 2, 4)  # (b, f, q, p, 256)
+        x = x.reshape(b * f * h * w, h, w, 256)
+        x = nn.relu(c3(256, "conv2_0")(x))
+        x = nn.relu(c3(128, "conv2_1")(x))
+        x = c3(1, "conv2_2")(x)  # (b*f*q, h, w, 1)
+
+        x = x.reshape(b, f, h * w, h, w)  # (b, f, q, p_h, p_w)
+        x = x.transpose(0, 1, 3, 4, 2)  # (b, f, p_h, p_w, q)
+        return x.reshape(b, f, h, w, h, w)
+
+
+class AlignmentCorrelationMixer(nn.Module):
+    """Cost volume -> coarse 16x16 flow (reference model_dfpn.py:629-674).
+
+    The flattened p-space becomes channels; convs run over q-space.
+    """
+
+    corr_size: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, corr):
+        b, f, h, w, _, _ = corr.shape
+        cs = self.corr_size
+        # (b, f, p_h, p_w, q_h, q_w) -> (b*f, q_h, q_w, p_h*p_w)
+        x = corr.reshape(b * f, cs * cs, cs, cs).transpose(0, 2, 3, 1)
+        x = x.astype(self.dtype)
+
+        schedule = [
+            (cs**2, 5, True), (cs**2, 3, True), (cs, 3, True),
+            (cs, 5, True), (cs, 3, True), (cs // 2, 3, True),
+            (cs // 2, 5, True), (cs // 2, 3, True), (cs // 4, 3, True),
+            (cs // 4, 5, True), (cs // 4, 3, True), (cs // 8, 3, False),
+            (cs // 8, 5, False), (cs // 8, 3, False),
+        ]
+        for i, (feats, k, relu) in enumerate(schedule):
+            x = Conv(
+                features=feats, kernel_size=(k, k), padding=(k // 2, k // 2),
+                dtype=self.dtype, name=f"mixer_{i}",
+            )(x)
+            if relu:
+                x = nn.relu(x)
+        # (b*f, h, w, 2) -> (b, f, h, w, 2)
+        return x.reshape(b, f, h, w, 2)
+
+
+class FlowEstimator(nn.Module):
+    """U-Net-ish 21-conv flow refiner (reference model_dfpn.py:677-743).
+
+    Input channels: ref frame (3) + target frame (3) + ref mask (1) + target
+    mask (1) + prior flow (2) = 10.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_target, m_target, x_refs, m_refs, flow_pre):
+        b, f, h, w, c = x_refs.shape
+        x_t = jnp.broadcast_to(x_target[:, None], (b, f, h, w, c))
+        m_t = jnp.broadcast_to(m_target[:, None], (b, f, h, w, 1))
+        x = jnp.concatenate(
+            [x_refs, x_t, m_refs, m_t, flow_pre], axis=-1
+        ).reshape(b * f, h, w, 10).astype(self.dtype)
+
+        conv = lambda feats, k, s, name: Conv(
+            features=feats, kernel_size=(k, k), strides=(s, s),
+            padding=(k // 2, k // 2), dtype=self.dtype, name=name,
+        )
+        up = lambda k, p, name: ConvTranspose2dTorch(
+            features=128, kernel_size=(k, k), strides=(2, 2), padding=(p, p),
+            output_padding=(1, 1), dtype=self.dtype, name=name,
+        )
+
+        # (kernel, stride) schedule mirroring the reference Sequential.
+        x = nn.relu(conv(128, 5, 1, "c0")(x))
+        x = nn.relu(conv(128, 3, 1, "c1")(x))
+        x = nn.relu(conv(128, 5, 2, "c2")(x))
+        x = nn.relu(conv(128, 5, 1, "c3")(x))
+        x = nn.relu(conv(128, 3, 1, "c4")(x))
+        x = nn.relu(conv(128, 3, 2, "c5")(x))
+        x = nn.relu(conv(128, 5, 1, "c6")(x))
+        x = nn.relu(conv(128, 3, 1, "c7")(x))
+        x = nn.relu(conv(128, 3, 2, "c8")(x))
+        x = nn.relu(conv(128, 5, 1, "c9")(x))
+        x = nn.relu(conv(128, 3, 1, "c10")(x))
+        x = nn.relu(up(3, 1, "t0")(x))
+        x = nn.relu(conv(128, 5, 1, "c11")(x))
+        x = nn.relu(conv(128, 3, 1, "c12")(x))
+        x = nn.relu(up(3, 1, "t1")(x))
+        x = nn.relu(conv(128, 5, 1, "c13")(x))
+        x = nn.relu(conv(128, 3, 1, "c14")(x))
+        x = nn.relu(up(5, 2, "t2")(x))
+        x = nn.relu(conv(128, 5, 1, "c15")(x))
+        x = nn.relu(conv(128, 3, 1, "c16")(x))
+        x = conv(2, 3, 1, "c17")(x)
+        return x.reshape(b, f, h, w, 2)
+
+
+class DFPN(nn.Module):
+    """Dense Flow Prediction Network (reference model_dfpn.py:14-133).
+
+    ``vgg_apply`` is a closure ``images_nhwc -> [5 pool feats]`` over frozen
+    VGG params (supplied by the caller so the same VGG instance is shared
+    with the CHN perceptual loss).
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.corr_conv = SeparableConv4d(dtype=self.dtype, name="separable4d")
+        self.corr_mixer = AlignmentCorrelationMixer(dtype=self.dtype, name="mixer")
+        self.flow_64 = FlowEstimator(dtype=self.dtype, name="flow_64")
+        self.flow_256 = FlowEstimator(dtype=self.dtype, name="flow_256")
+
+    def __call__(self, x_target, m_target, x_refs, m_refs, vgg_feats_target, vgg_feats_refs):
+        """Forward pass (reference model_dfpn.py:46-101).
+
+        Args:
+            x_target: ``(B, H, W, 3)`` masked target frame.
+            m_target: ``(B, H, W, 1)`` target mask.
+            x_refs: ``(B, F, H, W, 3)`` masked reference frames.
+            m_refs: ``(B, F, H, W, 1)`` reference masks.
+            vgg_feats_target: pool-4 VGG features ``(B, 16, 16, 512)`` of the
+                *normalized, 256-resized* target (see :meth:`prepare_vgg_input`).
+            vgg_feats_refs: ``(B, F, 16, 16, 512)`` likewise for refs.
+
+        Returns:
+            ``(corr, flow_16, flow_64, flow_full)`` where flow_full is at the
+            input resolution.
+        """
+        b, f, h, w, _ = x_refs.shape
+        mean = jnp.asarray(IMAGENET_MEAN, dtype=x_target.dtype)
+        std = jnp.asarray(IMAGENET_STD, dtype=x_target.dtype)
+        x_target = (x_target - mean) / std
+        x_refs = (x_refs - mean) / std
+
+        x_t_256, m_t_256, x_r_256, m_r_256 = transforms.resize_set_bis(
+            x_target, m_target, x_refs, m_refs, (256, 256)
+        )
+        x_t_64, m_t_64, x_r_64, m_r_64 = transforms.resize_set_bis(
+            x_target, m_target, x_refs, m_refs, (64, 64)
+        )
+
+        fh, fw = vgg_feats_target.shape[1:3]
+        v_target = transforms.interp.resize_hw(
+            1 - m_t_256, (fh, fw), mode="nearest"
+        )
+        v_ref = transforms.interp.resize_hw(1 - m_r_256, (fh, fw), mode="nearest")
+
+        corr = correlation_masked_4d(
+            jax.lax.stop_gradient(vgg_feats_target),
+            v_target,
+            jax.lax.stop_gradient(vgg_feats_refs),
+            v_ref,
+        )
+        corr = self.corr_conv(corr)
+
+        flow_16 = self.corr_mixer(corr)
+        flow_64_pre = flows_ops.resize_flow(flow_16, (64, 64), mode="bilinear")
+        flow_64 = self.flow_64(x_t_64, m_t_64, x_r_64, m_r_64, flow_64_pre)
+        flow_256_pre = flows_ops.resize_flow(flow_64, (256, 256), mode="bilinear")
+        flow_256 = self.flow_256(x_t_256, m_t_256, x_r_256, m_r_256, flow_256_pre)
+
+        return corr, flow_16, flow_64, flows_ops.resize_flow(
+            flow_256, (h, w), mode="bilinear"
+        )
+
+
+def prepare_vgg_input(x: jnp.ndarray) -> jnp.ndarray:
+    """ImageNet-normalize + resize to 256² for VGG feature extraction.
+
+    Mirrors DFPN's internal preprocessing (model_dfpn.py:71-77): frames are
+    normalized first, then bilinearly resized.
+    """
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=x.dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype=x.dtype)
+    x = (x - mean) / std
+    if x.shape[-3] != 256 or x.shape[-2] != 256:
+        x = transforms.interp.resize_hw(x, (256, 256), mode="bilinear")
+    return x
+
+
+def dfpn_align(
+    dfpn_apply: Callable,
+    params,
+    x_target: jnp.ndarray,
+    m_target: jnp.ndarray,
+    x_refs: jnp.ndarray,
+    m_refs: jnp.ndarray,
+    vgg_feats_target: jnp.ndarray,
+    vgg_feats_refs: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Aligner interface matching CPN.align (reference model_dfpn.py:103-133)."""
+    _, _, _, flow_full = jax.lax.stop_gradient(
+        dfpn_apply(
+            params, x_target, m_target, x_refs, m_refs,
+            vgg_feats_target, vgg_feats_refs,
+        )
+    )
+    x_ref_aligned, v_ref_aligned = flows_ops.align_set(
+        x_refs, 1.0 - m_refs, flow_full
+    )
+    v_map = jnp.clip(v_ref_aligned - (1.0 - m_target[:, None]), 0.0, 1.0)
+    return x_ref_aligned, v_ref_aligned, v_map

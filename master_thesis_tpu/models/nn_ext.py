@@ -69,6 +69,7 @@ class Conv(nn.Module):
             ),
             rhs_dilation=self.dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
         )
         if self.use_bias:
             bias = self.param(
@@ -122,6 +123,7 @@ class ConvTranspose2dTorch(nn.Module):
             padding=pads,
             lhs_dilation=self.strides,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
         )
         if self.use_bias:
             bias = self.param(

@@ -75,6 +75,43 @@ def resize_axis_linear(
     return x0 * (1 - w1) + x1 * w1
 
 
+def resize_hw_np(
+    x: np.ndarray,
+    size: Sequence[int],
+    mode: str = "bilinear",
+    align_corners: bool = False,
+) -> np.ndarray:
+    """Numpy twin of :func:`resize_hw` for the host data pipeline.
+
+    Shares the exact same index/weight tables, so host preprocessing and
+    device ops agree bit-for-bit (no jax involvement on worker threads).
+    """
+    h, w = int(size[0]), int(size[1])
+    h_axis, w_axis = x.ndim - 3, x.ndim - 2
+
+    def take(arr, idx, axis):
+        return np.take(arr, idx, axis=axis)
+
+    if mode == "nearest":
+        if x.shape[h_axis] != h:
+            x = take(x, _nearest_indices(x.shape[h_axis], h), h_axis)
+        if x.shape[w_axis] != w:
+            x = take(x, _nearest_indices(x.shape[w_axis], w), w_axis)
+        return x
+    if mode == "bilinear":
+        for axis, out_size in ((h_axis, h), (w_axis, w)):
+            in_size = x.shape[axis]
+            if in_size == out_size:
+                continue
+            idx0, idx1, w1 = _linear_taps(in_size, out_size, align_corners)
+            shape = [1] * x.ndim
+            shape[axis] = out_size
+            w1 = w1.astype(x.dtype).reshape(shape)
+            x = take(x, idx0, axis) * (1 - w1) + take(x, idx1, axis) * w1
+        return x
+    raise ValueError(f"unknown resize mode: {mode}")
+
+
 def resize_hw(
     x: jnp.ndarray,
     size: Sequence[int],

@@ -95,6 +95,7 @@ def sobel_grads(y: jnp.ndarray) -> jnp.ndarray:
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     # out channels are interleaved (c0_h, c0_v, c1_h, ...); match the
     # reference's concatenated ordering (all H grads then all V grads).

@@ -48,6 +48,7 @@ def _uniform_filter_valid(x: jnp.ndarray, win: int) -> jnp.ndarray:
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out / (win * win)
 
