@@ -1,0 +1,79 @@
+"""Headline benchmark: inpainted 256x256 frames/sec/chip (CHN + CPN, 5 refs).
+
+BASELINE.json's north-star config: copy-and-hallucinate inpainting of
+256-square targets against 5 aligned reference frames. One jitted step =
+CPN affine alignment of 5 refs + CHN forward + composite. Targets/sec is
+what's counted (each target consumes 5 ref passes through the RRDB trunk),
+target >= 30/s/chip on v5e.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/30}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from master_thesis_tpu.models.chn import CHN
+    from master_thesis_tpu.models.cpn import CPN
+
+    b, f, h, w = 8, 5, 256, 256
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros
+
+    # Production compute dtype: bf16 conv compute, f32 params/master copies.
+    cpn = CPN(dtype=jnp.bfloat16)
+    chn = CHN(nb=20, dtype=jnp.bfloat16)
+    cpn_params = cpn.init(
+        key, z((1, h, w, 3)), z((1, h, w, 1)), z((1, 1, h, w, 3)), z((1, 1, h, w, 1))
+    )
+    chn_params = chn.init(
+        key, z((1, h, w, 3)), z((1, h, w, 1)), z((1, 1, h, w, 3)),
+        z((1, 1, h, w, 1)), z((1, 1, h, w, 1)),
+    )
+
+    @jax.jit
+    def inpaint_step(cpn_p, chn_p, x_t, m_t, x_r, m_r):
+        xa, va, vm = cpn.apply(cpn_p, x_t, m_t, x_r, m_r, method=CPN.align)
+        _, y_hat_comp = chn.apply(chn_p, x_t, 1 - m_t, xa, va, vm)
+        return y_hat_comp
+
+    x_t = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    m_t = jnp.asarray(rng.rand(b, h, w, 1) > 0.9, jnp.float32)
+    x_r = jnp.asarray(rng.rand(b, f, h, w, 3), jnp.float32)
+    m_r = jnp.asarray(rng.rand(b, f, h, w, 1) > 0.9, jnp.float32)
+
+    # Warmup (compile) + steady-state timing.
+    out = jax.block_until_ready(inpaint_step(cpn_params, chn_params, x_t, m_t, x_r, m_r))
+    assert np.isfinite(np.asarray(out[:1, :1, :8, :8])).all()
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = inpaint_step(cpn_params, chn_params, x_t, m_t, x_r, m_r)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    frames_per_sec = b / dt  # targets inpainted per second on one chip
+    print(
+        json.dumps(
+            {
+                "metric": "inpainted 256px frames/sec/chip (CHN+CPN, 5 refs)",
+                "value": round(frames_per_sec, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(frames_per_sec / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

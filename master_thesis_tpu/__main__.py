@@ -1,0 +1,180 @@
+"""CLI entry point — same flag surface and four run modes as the reference
+(__main__.py:12-72): DFPN train/test, CHN train/test with a ``cpn`` or
+``dfpn`` aligner.
+
+    python -m master_thesis_tpu                      # train DFPN
+    python -m master_thesis_tpu --test --test_checkpoint P
+    python -m master_thesis_tpu --chn --chn_aligner cpn \
+        --chn_aligner_checkpoint weight.pth          # train CHN
+    python -m master_thesis_tpu --chn --test ...     # full-video inpainting
+
+Checkpoint paths may be torch files (``.pth``/``.ckpt`` — converted on
+load via models/convert.py) or orbax directories produced by this trainer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from master_thesis_tpu.config import Config
+
+
+def _is_torch_ckpt(path: str) -> bool:
+    return os.path.isfile(path)
+
+
+def load_dfpn_params(path, cfg, vgg_apply):
+    from master_thesis_tpu.models import convert
+    from master_thesis_tpu.train import build as build_mod
+    from master_thesis_tpu.train.checkpoint import restore_from_path
+
+    model, init_params = build_mod.build_dfpn(cfg, vgg_apply)
+    if path and _is_torch_ckpt(path):
+        sd = convert.load_torch_checkpoint(path)
+        return model, {"params": convert.dfpn_from_torch(sd)}
+    if path:
+        restored = restore_from_path(path)
+        return model, {"params": restored["params"]["params"]}
+    return model, init_params
+
+
+def load_chn_params(path, cfg):
+    from master_thesis_tpu.models import convert
+    from master_thesis_tpu.train import build as build_mod
+    from master_thesis_tpu.train.checkpoint import restore_from_path
+
+    model, init_params = build_mod.build_chn(cfg)
+    if path and _is_torch_ckpt(path):
+        sd = convert.load_torch_checkpoint(path)
+        return model, {"params": convert.chn_from_torch(sd, nb=cfg.chn_nb)}
+    if path:
+        restored = restore_from_path(path)
+        return model, {"params": restored["params"]["params"]}
+    return model, init_params
+
+
+def build_aligner(cfg, vgg_apply):
+    from master_thesis_tpu.train import build as build_mod
+
+    if cfg.chn_aligner == "cpn":
+        _, _, align_fn = build_mod.build_cpn(cfg, cfg.chn_aligner_checkpoint)
+        return align_fn
+    model, params = load_dfpn_params(cfg.chn_aligner_checkpoint, cfg, vgg_apply)
+    return build_mod.dfpn_align_fn(cfg, model, params, vgg_apply)
+
+
+def run_dfpn_train(cfg):
+    from master_thesis_tpu.data import meta as meta_mod
+    from master_thesis_tpu.train import build as build_mod, dfpn_task, state as state_lib
+    from master_thesis_tpu.train.loop import Trainer
+
+    metas = meta_mod.prepare_data(cfg)
+    loaders = build_mod.build_loaders(cfg, metas)
+    _, _, vgg_apply = build_mod.build_vgg(cfg, cfg.vgg_checkpoint)
+    model, params = load_dfpn_params(cfg.resume_from_checkpoint, cfg, vgg_apply)
+
+    state = state_lib.create_train_state(
+        model.apply, params, cfg, steps_per_epoch=cfg.train_max_iterations
+    )
+    train_step = dfpn_task.make_train_step(model.apply, vgg_apply)
+    eval_step = dfpn_task.make_eval_step(model.apply, vgg_apply)
+    args = lambda b: (b["x"], b["m"], b["y"], b["flow_gt"], b["flows_use"])
+    trainer = Trainer(cfg, "dfpn")
+    trainer.fit(
+        state, train_step, args, loaders["train"],
+        eval_step=eval_step, eval_args=args, val_loader=loaders["validation"],
+    )
+
+
+def run_dfpn_test(cfg):
+    from master_thesis_tpu.data import meta as meta_mod
+    from master_thesis_tpu.train import build as build_mod, dfpn_task
+
+    metas = meta_mod.prepare_data(cfg)
+    loaders = build_mod.build_loaders(cfg, metas, splits=("test",))
+    _, _, vgg_apply = build_mod.build_vgg(cfg, cfg.vgg_checkpoint)
+    model, params = load_dfpn_params(cfg.test_checkpoint, cfg, vgg_apply)
+    eval_step = dfpn_task.make_eval_step(model.apply, vgg_apply)
+
+    agg = {}
+    for batch in loaders["test"]:
+        # DFPN test supervises flow with the *mask* movement (reference
+        # model_dfpn.py:197 uses info[5]).
+        items = eval_step(
+            params, batch["x"], batch["m"], batch["y"], batch["m_movement"],
+            batch["flows_use"],
+        )
+        for k, v in items.items():
+            agg.setdefault(k, []).append(float(v))
+    for k, v in agg.items():
+        print(f"test/{k}: {np.mean(v):.5f}")
+
+
+def run_chn_train(cfg):
+    from master_thesis_tpu.data import meta as meta_mod
+    from master_thesis_tpu.train import build as build_mod, chn_task, state as state_lib
+    from master_thesis_tpu.train.loop import Trainer
+
+    metas = meta_mod.prepare_data(cfg)
+    loaders = build_mod.build_loaders(cfg, metas)
+    _, _, vgg_apply = build_mod.build_vgg(cfg, cfg.vgg_checkpoint)
+    align_fn = build_aligner(cfg, vgg_apply)
+    model, params = load_chn_params(cfg.resume_from_checkpoint, cfg)
+
+    state = state_lib.create_train_state(
+        model.apply, params, cfg, steps_per_epoch=cfg.train_max_iterations
+    )
+    lpips_fn = build_mod.build_lpips(cfg, lpips_checkpoint=cfg.lpips_checkpoint)
+    train_step = chn_task.make_train_step(model.apply, align_fn, vgg_apply)
+    eval_step = chn_task.make_eval_step(model.apply, align_fn, vgg_apply, lpips_fn=lpips_fn)
+    args = lambda b: (b["x"], b["m"], b["y"])
+    trainer = Trainer(cfg, "chn")
+    trainer.fit(
+        state, train_step, args, loaders["train"],
+        eval_step=eval_step, eval_args=args, val_loader=loaders["validation"],
+    )
+
+
+def run_chn_test(cfg):
+    from master_thesis_tpu.data import meta as meta_mod
+    from master_thesis_tpu.infer.algorithms import Inpainter
+    from master_thesis_tpu.infer.video import write_video
+    from master_thesis_tpu.train import build as build_mod
+
+    metas = meta_mod.prepare_data(cfg)
+    loaders = build_mod.build_loaders(cfg, metas, splits=("test",))
+    _, _, vgg_apply = build_mod.build_vgg(cfg, cfg.vgg_checkpoint)
+    align_fn = build_aligner(cfg, vgg_apply)
+    model, params = load_chn_params(cfg.test_checkpoint, cfg)
+    inpainter = Inpainter(model.apply, params, align_fn)
+
+    for batch in loaders["test"]:
+        x, m = batch["x"][0], batch["m"][0]
+        name = batch["names"][0]
+        for algo in ("ff", "ip", "cp"):
+            y_hat = getattr(inpainter, f"inpaint_{algo}")(x, m)
+            path = write_video(y_hat, f"{name}_{algo}")
+            print(f"wrote {path}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("master_thesis_tpu")
+    Config.add_argparse_args(parser)
+    cfg = Config.from_args(parser.parse_args(argv))
+
+    if cfg.chn and cfg.test:
+        run_chn_test(cfg)
+    elif cfg.chn:
+        run_chn_train(cfg)
+    elif cfg.test:
+        run_dfpn_test(cfg)
+    else:
+        run_dfpn_train(cfg)
+
+
+if __name__ == "__main__":
+    main()

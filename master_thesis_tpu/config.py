@@ -55,7 +55,13 @@ class Config:
     seed: int = 0
     resume_from_checkpoint: Optional[str] = None
 
+    # --- pretrained weight sources (torch state dicts, converted on load;
+    # the reference streams VGG from the torchvision hub, model_vgg.py:62) ---
+    vgg_checkpoint: Optional[str] = None
+    lpips_checkpoint: Optional[str] = None
+
     # --- TPU-native knobs (new; no reference equivalent) ---
+    chn_nb: int = 20  # RRDB block count (reference fixes 20, model_chn.py:31)
     compute_dtype: str = "bfloat16"  # dtype for conv compute inside models
     param_dtype: str = "float32"
     mesh_data: int = -1  # -1 = all devices on the data axis
@@ -122,6 +128,9 @@ class Config:
         parser.add_argument("--seed", type=int, default=0)
         parser.add_argument("--resume_from_checkpoint")
 
+        parser.add_argument("--chn_nb", type=int, default=20)
+        parser.add_argument("--vgg_checkpoint")
+        parser.add_argument("--lpips_checkpoint")
         parser.add_argument("--compute_dtype", default="bfloat16")
         parser.add_argument("--param_dtype", default="float32")
         parser.add_argument("--mesh_data", type=int, default=-1)

@@ -27,6 +27,21 @@ from master_thesis_tpu.ops.movements import MovementSimulator
 
 FILL_COLOR = np.asarray([0.485, 0.456, 0.406], dtype=np.float32)
 
+_NATIVE = None
+
+
+def _native_runtime() -> bool:
+    """Whether the C++ decode runtime (runtime/decode.cpp) is loadable."""
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from master_thesis_tpu.runtime import is_available
+
+            _NATIVE = bool(is_available())
+        except Exception:
+            _NATIVE = False
+    return _NATIVE
+
 
 def _resize_keep_ratio(img: np.ndarray, size, mode="bilinear") -> np.ndarray:
     """Reference TransformsUtils.resize keep_ratio branch incl. the
@@ -94,17 +109,33 @@ class ContentProvider:
     # -- decoding -----------------------------------------------------------
 
     def _decode_bg(self, rel_path: str) -> np.ndarray:
+        path = os.path.join(self.data_path, rel_path)
+        if _native_runtime():
+            from master_thesis_tpu.runtime import decode_jpeg
+
+            try:
+                return decode_jpeg(path)
+            except IOError:
+                pass  # non-JPEG background (e.g. PNG fixtures) -> cv2
         import cv2
 
-        img = cv2.imread(os.path.join(self.data_path, rel_path), cv2.IMREAD_COLOR)
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
         if img is None:
             raise FileNotFoundError(rel_path)
         return (img[:, :, ::-1].astype(np.float32)) / 255.0  # BGR -> RGB
 
     def _decode_mask(self, rel_path: str) -> np.ndarray:
+        path = os.path.join(self.data_path, rel_path)
+        if _native_runtime():
+            from master_thesis_tpu.runtime import decode_mask_png
+
+            try:
+                return decode_mask_png(path)
+            except IOError:
+                pass
         import cv2
 
-        img = cv2.imread(os.path.join(self.data_path, rel_path), cv2.IMREAD_GRAYSCALE)
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
         if img is None:
             raise FileNotFoundError(rel_path)
         return (img > 0).astype(np.float32)[..., None]

@@ -22,6 +22,7 @@ shapes it supports.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -31,13 +32,113 @@ def _unnormalize(g: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
     return ((g + 1.0) * size - 1.0) * 0.5
 
 
+def _use_mm_impl() -> bool:
+    """Matmul warp on TPU-class backends; gather warp elsewhere (CPU)."""
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def grid_sample(
     x: jnp.ndarray,
     grid: jnp.ndarray,
     mode: str = "bilinear",
     align_corners: bool = True,
+    impl: str = "auto",
 ) -> jnp.ndarray:
-    """Samples ``x`` ``(N,H,W,C)`` at ``grid`` ``(N,H',W',2)`` -> ``(N,H',W',C)``."""
+    """Samples ``x`` ``(N,H,W,C)`` at ``grid`` ``(N,H',W',2)`` -> ``(N,H',W',C)``.
+
+    Two implementations with identical semantics (tested against each other
+    and against torch):
+
+    - ``gather``: 4 corner gathers + lerp. Fine on CPU; slow on TPU (XLA
+      lowers per-pixel gathers to scalar slice loops).
+    - ``mm``: tent-weight matmul contraction (:func:`grid_sample_mm`) — the
+      TPU-native formulation; all the work lands on the MXU.
+    """
+    if impl == "auto":
+        impl = "mm" if _use_mm_impl() else "gather"
+    if impl == "mm":
+        return grid_sample_mm(x, grid, mode=mode, align_corners=align_corners)
+    return grid_sample_gather(x, grid, mode=mode, align_corners=align_corners)
+
+
+def grid_sample_mm(
+    x: jnp.ndarray,
+    grid: jnp.ndarray,
+    mode: str = "bilinear",
+    align_corners: bool = True,
+    row_chunk: int = 8,
+) -> jnp.ndarray:
+    """Warp as two tent-weight contractions on the MXU.
+
+    Key identity: bilinear sampling with zeros padding is
+
+        out[i,j] = sum_y sum_x tent(y - fy[i,j]) * tent(x - fx[i,j]) * src[y,x]
+
+    with ``tent(d) = max(0, 1 - |d|)`` — the tent automatically reproduces
+    torch's edge semantics (an out-of-range tap simply has no grid point
+    within distance 1, i.e. contributes zero). Factored per output-row chunk:
+    an x-contraction as one batched matmul, then a y-contraction fused with
+    the tent mask. Per-pixel gathers never appear, which on TPU is worth
+    ~10x over the gather lowering. ``nearest`` mode swaps the tent for a
+    one-hot indicator at the rounded coordinate.
+
+    Cost is O(H'·W'·(H + W)·C) MACs — more arithmetic than the O(H'·W')
+    gather, but it runs at MXU rate instead of scalar-loop rate.
+    """
+    n, h, w, c = x.shape
+    _, ho, wo, _ = grid.shape
+    gx = _unnormalize(grid[..., 0].astype(jnp.float32), w, align_corners)
+    gy = _unnormalize(grid[..., 1].astype(jnp.float32), h, align_corners)
+
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+
+    if mode == "bilinear":
+        weight = lambda pts, f: jnp.maximum(0.0, 1.0 - jnp.abs(pts - f))
+    elif mode == "nearest":
+        weight = lambda pts, f: (pts == jnp.round(f)).astype(jnp.float32)
+    else:
+        raise ValueError(f"unknown grid_sample mode: {mode}")
+
+    # Pad output rows to a multiple of the chunk size.
+    t = min(row_chunk, ho)
+    pad = (-ho) % t
+    if pad:
+        gx = jnp.concatenate([gx, jnp.zeros((n, pad, wo))], axis=1)
+        gy = jnp.concatenate([gy, jnp.zeros((n, pad, wo))], axis=1)
+    nch = (ho + pad) // t
+
+    # (nch, N, T, W') chunk-major for the scan.
+    gx_c = gx.reshape(n, nch, t, wo).transpose(1, 0, 2, 3)
+    gy_c = gy.reshape(n, nch, t, wo).transpose(1, 0, 2, 3)
+    xf = x.astype(jnp.float32)
+
+    def body(_, inp):
+        gxc, gyc = inp  # (N, T, W')
+        wx = weight(xs[None, None, :, None], gxc[:, :, None, :])  # (N,T,W,W')
+        r = jnp.einsum(
+            "nyxc,ntxj->ntyjc", xf, wx, precision=jax.lax.Precision.HIGHEST
+        )  # (N,T,H,W',C)
+        wy = weight(ys[None, None, :, None], gyc[:, :, None, :])  # (N,T,H,W')
+        out = jnp.einsum(
+            "ntyjc,ntyj->ntjc", r, wy, precision=jax.lax.Precision.HIGHEST
+        )
+        return None, out
+
+    _, outs = jax.lax.scan(body, None, (gx_c, gy_c))  # (nch, N, T, W', C)
+    out = outs.transpose(1, 0, 2, 3, 4).reshape(n, nch * t, wo, c)
+    return out[:, :ho].astype(x.dtype)
+
+
+def grid_sample_gather(
+    x: jnp.ndarray,
+    grid: jnp.ndarray,
+    mode: str = "bilinear",
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Gather-based warp (4 corner gathers + lerp)."""
     n, h, w, c = x.shape
     gx = _unnormalize(grid[..., 0].astype(jnp.float32), w, align_corners)
     gy = _unnormalize(grid[..., 1].astype(jnp.float32), h, align_corners)

@@ -56,7 +56,54 @@ def _take(x: jnp.ndarray, idx: np.ndarray, axis: int) -> jnp.ndarray:
     return jnp.take(x, jnp.asarray(idx), axis=axis)
 
 
+def _use_mm_impl() -> bool:
+    """Matmul resize on TPU-class backends (XLA lowers jnp.take to slow
+    per-index slice loops there); gather/take resize on CPU."""
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _resize_axis_mm(x: jnp.ndarray, weights: np.ndarray, axis: int) -> jnp.ndarray:
+    """Applies a dense (out, in) interpolation matrix along ``axis`` as one
+    MXU matmul — the TPU-native form of a static-index resize. The matrix has
+    <= 2 nonzeros per row, so values are bit-identical to the two-tap lerp
+    (f32 accumulate, HIGHEST precision)."""
+    import jax
+
+    m = jnp.asarray(weights)  # (out, in) f32
+    y = jnp.moveaxis(x, axis, -1)
+    lead_shape = y.shape[:-1]
+    y2 = y.reshape(-1, y.shape[-1])
+    out = jax.lax.dot_general(
+        y2.astype(jnp.float32),
+        m.T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return jnp.moveaxis(out.reshape(*lead_shape, m.shape[0]), -1, axis)
+
+
+def _linear_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    idx0, idx1, w1 = _linear_taps(in_size, out_size, align_corners)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, idx0), 1.0 - w1)
+    np.add.at(m, (rows, idx1), w1)
+    return m
+
+
+def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
+    idx = _nearest_indices(in_size, out_size)
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), idx] = 1.0
+    return m
+
+
 def resize_axis_nearest(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
+    if _use_mm_impl():
+        return _resize_axis_mm(x, _nearest_matrix(x.shape[axis], out_size), axis)
     return _take(x, _nearest_indices(x.shape[axis], out_size), axis)
 
 
@@ -66,6 +113,8 @@ def resize_axis_linear(
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
+    if _use_mm_impl():
+        return _resize_axis_mm(x, _linear_matrix(in_size, out_size, align_corners), axis)
     idx0, idx1, w1 = _linear_taps(in_size, out_size, align_corners)
     x0 = _take(x, idx0, axis)
     x1 = _take(x, idx1, axis)

@@ -57,3 +57,30 @@ def test_numpy_twin_matches_jnp(rng):
         rng.randn(2, 2, 3).astype(np.float32), (6, 7), align_corners=True
     )
     assert ga.shape == (2, 6, 7, 2)
+
+
+def test_mm_impl_matches_gather(rng):
+    """The TPU matmul warp must agree with the gather warp bit-for-bit-ish."""
+    from master_thesis_tpu.ops.grid_sample import grid_sample_gather, grid_sample_mm
+
+    x = rng.rand(2, 20, 24, 3).astype(np.float32)
+    grid = (rng.rand(2, 20, 24, 2).astype(np.float32) * 2 - 1) * 1.3
+    for mode in ("bilinear", "nearest"):
+        for align in (True, False):
+            a = np.asarray(
+                grid_sample_mm(jnp.asarray(x), jnp.asarray(grid), mode=mode, align_corners=align)
+            )
+            b = np.asarray(
+                grid_sample_gather(jnp.asarray(x), jnp.asarray(grid), mode=mode, align_corners=align)
+            )
+            np.testing.assert_allclose(a, b, atol=1e-5, err_msg=f"{mode}/{align}")
+
+
+def test_mm_impl_nonsquare_and_padding(rng):
+    from master_thesis_tpu.ops.grid_sample import grid_sample_gather, grid_sample_mm
+
+    x = rng.rand(1, 13, 17, 2).astype(np.float32)
+    grid = (rng.rand(1, 9, 11, 2).astype(np.float32) * 2 - 1) * 1.5
+    a = np.asarray(grid_sample_mm(jnp.asarray(x), jnp.asarray(grid), row_chunk=4))
+    b = np.asarray(grid_sample_gather(jnp.asarray(x), jnp.asarray(grid)))
+    np.testing.assert_allclose(a, b, atol=1e-5)

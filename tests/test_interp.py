@@ -43,3 +43,35 @@ def test_extra_leading_dims(rng):
     assert out.shape == (2, 3, 20, 24, 2)
     flat = interp.resize_hw(jnp.asarray(x.reshape(6, 10, 12, 2)), (20, 24), mode="bilinear")
     np.testing.assert_allclose(np.asarray(out).reshape(6, 20, 24, 2), np.asarray(flat), atol=1e-6)
+
+
+def test_mm_resize_matches_take(rng):
+    """The TPU matmul resize must agree with the take-based resize."""
+    from master_thesis_tpu.ops.interp import (
+        _linear_matrix,
+        _nearest_matrix,
+        _resize_axis_mm,
+        resize_hw,
+    )
+
+    x = rng.rand(2, 31, 17, 3).astype(np.float32)
+    xj = jnp.asarray(x)
+    for out_size, axis in ((64, 1), (9, 2)):
+        got = np.asarray(
+            _resize_axis_mm(xj, _linear_matrix(x.shape[axis], out_size, False), axis)
+        )
+        import master_thesis_tpu.ops.interp as interp_mod
+
+        want = np.asarray(interp_mod._take(xj, interp_mod._linear_taps(x.shape[axis], out_size, False)[0], axis)) * 0
+        # compare against the lerp formulation directly
+        idx0, idx1, w1 = interp_mod._linear_taps(x.shape[axis], out_size, False)
+        x0 = np.take(x, idx0, axis=axis)
+        x1 = np.take(x, idx1, axis=axis)
+        shape = [1] * x.ndim
+        shape[axis] = out_size
+        want = x0 * (1 - w1.reshape(shape)) + x1 * w1.reshape(shape)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+        got_n = np.asarray(_resize_axis_mm(xj, _nearest_matrix(x.shape[axis], out_size), axis))
+        want_n = np.take(x, interp_mod._nearest_indices(x.shape[axis], out_size), axis=axis)
+        np.testing.assert_array_equal(got_n, want_n)
