@@ -16,7 +16,9 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from master_thesis_tpu.models.nn_ext import Conv, leaky_relu
@@ -31,7 +33,16 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 class ResidualDenseBlock5C(nn.Module):
     """5 densely-connected 3x3 convs with 0.2-scaled residual
-    (reference model_chn.py:588-623)."""
+    (reference model_chn.py:588-623).
+
+    TPU formulation: the reference computes ``conv_k(concat(x, x1..x_{k-1}))``
+    — five narrow convs whose ``gc=32`` output widths leave 3/4 of the MXU's
+    128 output lanes idle. Convolution is linear in its input channels, so
+    each conv splits into per-source contributions, and all contributions
+    *from* the same tensor batch into ONE wide conv the moment that tensor
+    exists (output widths 192/160/128/96/64 instead of 32). Same parameters,
+    same math (summation regrouped), ~3x better MXU lane utilization.
+    """
 
     nf: int = 64
     gc: int = 32
@@ -39,14 +50,70 @@ class ResidualDenseBlock5C(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        conv = lambda f, name: Conv(
-            features=f, kernel_size=(3, 3), padding=(1, 1), dtype=self.dtype, name=name
+        nf, gc = self.nf, self.gc
+        widths = [nf, nf + gc, nf + 2 * gc, nf + 3 * gc, nf + 4 * gc]
+        outs = [gc, gc, gc, gc, nf]
+        from master_thesis_tpu.models.nn_ext import _uniform
+
+        kernels, biases = [], []
+        for k in range(5):
+            fan_in = widths[k] * 9
+            bound = (3.0 / fan_in) ** 0.5
+            kernels.append(
+                self.param(f"conv{k + 1}_kernel", _uniform(bound), (3, 3, widths[k], outs[k]), jnp.float32)
+            )
+            biases.append(
+                self.param(f"conv{k + 1}_bias", _uniform(bound), (outs[k],), jnp.float32)
+            )
+
+        def conv(inp, kernel):
+            return jax.lax.conv_general_dilated(
+                inp.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        def src_slice(k, lo, hi):
+            """Channels [lo, hi) of conv_k's kernel input axis."""
+            return kernels[k][:, :, lo:hi, :]
+
+        # Contributions FROM x to conv1..conv5 (input channels [0, nf)).
+        w_x = jnp.concatenate([src_slice(k, 0, nf) for k in range(5)], axis=-1)
+        p = conv(x, w_x)
+        p1, p2, p3, p4, p5 = jnp.split(p, np.cumsum(outs)[:-1].tolist(), axis=-1)
+
+        x1 = leaky_relu(p1 + biases[0].astype(self.dtype))
+
+        # FROM x1 to conv2..conv5 (channels [nf, nf+gc) of those kernels).
+        w_x1 = jnp.concatenate(
+            [src_slice(k, nf, nf + gc) for k in range(1, 5)], axis=-1
         )
-        x1 = leaky_relu(conv(self.gc, "conv1")(x))
-        x2 = leaky_relu(conv(self.gc, "conv2")(jnp.concatenate([x, x1], -1)))
-        x3 = leaky_relu(conv(self.gc, "conv3")(jnp.concatenate([x, x1, x2], -1)))
-        x4 = leaky_relu(conv(self.gc, "conv4")(jnp.concatenate([x, x1, x2, x3], -1)))
-        x5 = conv(self.nf, "conv5")(jnp.concatenate([x, x1, x2, x3, x4], -1))
+        q = conv(x1, w_x1)
+        q2, q3, q4, q5 = jnp.split(q, np.cumsum(outs[1:])[:-1].tolist(), axis=-1)
+
+        x2 = leaky_relu(p2 + q2 + biases[1].astype(self.dtype))
+
+        w_x2 = jnp.concatenate(
+            [src_slice(k, nf + gc, nf + 2 * gc) for k in range(2, 5)], axis=-1
+        )
+        r = conv(x2, w_x2)
+        r3, r4, r5 = jnp.split(r, np.cumsum(outs[2:])[:-1].tolist(), axis=-1)
+
+        x3 = leaky_relu(p3 + q3 + r3 + biases[2].astype(self.dtype))
+
+        w_x3 = jnp.concatenate(
+            [src_slice(k, nf + 2 * gc, nf + 3 * gc) for k in range(3, 5)], axis=-1
+        )
+        s = conv(x3, w_x3)
+        s4, s5 = jnp.split(s, np.cumsum(outs[3:])[:-1].tolist(), axis=-1)
+
+        x4 = leaky_relu(p4 + q4 + r4 + s4 + biases[3].astype(self.dtype))
+
+        t5 = conv(x4, src_slice(4, nf + 3 * gc, nf + 4 * gc))
+        x5 = p5 + q5 + r5 + s5 + t5 + biases[4].astype(self.dtype)
         return 0.2 * x5 + x
 
 

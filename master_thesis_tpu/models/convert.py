@@ -126,7 +126,9 @@ def rrdbnet_from_torch(sd: Mapping, prefix: str = "", nb: int = 20) -> Dict:
         for j in (1, 2, 3):
             rdb = {}
             for k in range(1, 6):
-                rdb[f"conv{k}"] = conv_params(sd, f"{p}rrdb_trunk.{i}.rdb{j}.conv{k}")
+                cp = conv_params(sd, f"{p}rrdb_trunk.{i}.rdb{j}.conv{k}")
+                rdb[f"conv{k}_kernel"] = cp["kernel"]
+                rdb[f"conv{k}_bias"] = cp["bias"]
             blk[f"rdb{j}"] = rdb
         out[f"rrdb_{i}"] = blk
     for name in ("trunk_conv", "upconv1", "upconv2", "hr_conv", "conv_last"):
