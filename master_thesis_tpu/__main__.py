@@ -94,14 +94,19 @@ def run_dfpn_test(cfg):
     from master_thesis_tpu.data import meta as meta_mod
     from master_thesis_tpu.train import build as build_mod, dfpn_task
 
+    from master_thesis_tpu.train.checkpoint import next_version_dir
+    from master_thesis_tpu.train.logging import Logger
+
     metas = meta_mod.prepare_data(cfg)
     loaders = build_mod.build_loaders(cfg, metas, splits=("test",))
     _, _, vgg_apply = build_mod.build_vgg(cfg, cfg.vgg_checkpoint)
     model, params = load_dfpn_params(cfg.test_checkpoint, cfg, vgg_apply)
     eval_step = dfpn_task.make_eval_step(model.apply, vgg_apply)
+    align_fn = build_mod.dfpn_align_fn(cfg, model, params, vgg_apply)
+    logger = Logger(next_version_dir(cfg.default_root_dir))
 
     agg = {}
-    for batch in loaders["test"]:
+    for i, batch in enumerate(loaders["test"]):
         # DFPN test supervises flow with the *mask* movement (reference
         # model_dfpn.py:197 uses info[5]).
         items = eval_step(
@@ -110,6 +115,15 @@ def run_dfpn_test(cfg):
         )
         for k, v in items.items():
             agg.setdefault(k, []).append(float(v))
+        # Aligned-frame grids, as the reference's test_step logs
+        # (model_dfpn.py:207, :411-456).
+        import jax.numpy as jnp
+
+        dfpn_task.log_alignment_frames(
+            logger, align_fn, jnp.asarray(batch["x"]), jnp.asarray(batch["m"]),
+            jnp.asarray(batch["y"]), step=i,
+        )
+    logger.flush()
     for k, v in agg.items():
         print(f"test/{k}: {np.mean(v):.5f}")
 

@@ -61,6 +61,20 @@ def correlation_masked_4d(
     return corr.reshape(b, f, h, w, h, w)
 
 
+def softmax_3d(x: jnp.ndarray) -> jnp.ndarray:
+    """Softmax over (q-space x frames) per target pixel — the reference's
+    optional correlation normalization (model_dfpn.py:567-583, off by
+    default there and here).
+
+    x: ``(B, F, H, W, H, W)`` correlation volume.
+    """
+    b, f, h, w, _, _ = x.shape
+    # (b, p_h, p_w, q_h*q_w*f) softmax over the last axis.
+    xt = x.transpose(0, 2, 3, 4, 5, 1).reshape(b, h, w, -1)
+    xt = jax.nn.softmax(xt, axis=-1)
+    return xt.reshape(b, h, w, h, w, f).transpose(0, 5, 1, 2, 3, 4)
+
+
 class SeparableConv4d(nn.Module):
     """4-D conv separated into two 2-D conv stacks over the cost volume's two
     spatial sub-spaces (reference model_dfpn.py:586-626).
@@ -192,6 +206,7 @@ class DFPN(nn.Module):
     """
 
     dtype: jnp.dtype = jnp.float32
+    use_softmax: bool = False  # reference CorrelationVGG flag (model_dfpn.py:485)
 
     def setup(self):
         self.corr_conv = SeparableConv4d(dtype=self.dtype, name="separable4d")
@@ -241,6 +256,8 @@ class DFPN(nn.Module):
             v_ref,
         )
         corr = self.corr_conv(corr)
+        if self.use_softmax:
+            corr = softmax_3d(corr)
 
         flow_16 = self.corr_mixer(corr)
         flow_64_pre = flows_ops.resize_flow(flow_16, (64, 64), mode="bilinear")

@@ -138,6 +138,36 @@ def forward_and_loss(
     }
 
 
+def log_alignment_frames(
+    logger, align_fn: Callable, x, m, y, step: int, max_items: int = 4
+):
+    """Logs aligned-frame image grids at test time (TPU analog of reference
+    ``_log_frames``, model_dfpn.py:411-456): per batch item, a frame strip of
+    [masked input | aligned refs (target inserted) | visibility maps |
+    trivial copy-composite].
+    """
+    import numpy as np
+
+    b, f = x.shape[0], x.shape[1]
+    t, r_list = target_ref_indexes(f)
+    x_t, m_t = x[:, t], m[:, t]
+    x_ref_aligned, v_ref_aligned, v_map = align_fn(x_t, m_t, x[:, r_list], m[:, r_list])
+
+    x_t_rep = jnp.broadcast_to(x_t[:, None], x_ref_aligned.shape)
+    y_hat_trivial = x_t_rep * (1 - v_map) + x_ref_aligned * v_map
+
+    x_np, m_np, y_np = map(np.asarray, (x, m, y))
+    xa, va, triv = map(np.asarray, (x_ref_aligned, v_ref_aligned, y_hat_trivial))
+    for i in range(min(b, max_items)):
+        aligned = np.insert(xa[i], t, x_np[i, t], axis=0)
+        vmaps = np.insert(
+            np.repeat(va[i], 3, axis=-1), t, np.repeat(m_np[i, t], 3, axis=-1), axis=0
+        )
+        trivial = np.insert(triv[i], t, y_np[i, t], axis=0)
+        strip = np.concatenate([x_np[i], aligned, vmaps, trivial], axis=1)  # stack rows
+        logger.log_images(f"frames/{i + 1}", np.clip(strip, 0, 1), step)
+
+
 def make_train_step(dfpn_apply: Callable, vgg_apply: Callable):
     @jax.jit
     def train_step(state, x, m, y, flow_gt, flows_use):

@@ -163,3 +163,20 @@ def test_flow_estimator_matches_torch(rng):
             x = x.relu()
     want = x.reshape(b, f, 2, h, w).permute(0, 1, 3, 4, 2).numpy()
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_softmax_3d_matches_torch(rng):
+    from master_thesis_tpu.models.dfpn import softmax_3d
+
+    b, f, h = 2, 3, 4
+    x = rng.randn(b, f, h, h, h, h).astype(np.float32)
+    got = np.asarray(softmax_3d(jnp.asarray(x)))
+    # Torch formulation (model_dfpn.py:567-583).
+    t = torch.from_numpy(x)
+    tt = t.permute(0, 2, 3, 4, 5, 1).reshape(b, h, h, -1)
+    tt = F.softmax(tt, dim=3)
+    want = tt.reshape(b, h, h, h, h, f).permute(0, 5, 1, 2, 3, 4).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # It is a distribution over (q, f) per target pixel.
+    s = got.transpose(0, 2, 3, 1, 4, 5).reshape(b, h, h, -1).sum(-1)
+    np.testing.assert_allclose(s, 1.0, atol=1e-5)
