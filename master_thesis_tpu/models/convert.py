@@ -120,7 +120,9 @@ def rrdbnet_from_torch(sd: Mapping, prefix: str = "", nb: int = 20) -> Dict:
     p = prefix
     out: Dict = {}
     for i in range(5):
-        out[f"conv_first_{i}"] = conv_params(sd, f"{p}conv_first.{i}")
+        cp = conv_params(sd, f"{p}conv_first.{i}")
+        out[f"conv_first_{i}_kernel"] = cp["kernel"]
+        out[f"conv_first_{i}_bias"] = cp["bias"]
     for i in range(nb):
         blk = {}
         for j in (1, 2, 3):
@@ -131,8 +133,12 @@ def rrdbnet_from_torch(sd: Mapping, prefix: str = "", nb: int = 20) -> Dict:
                 rdb[f"conv{k}_bias"] = cp["bias"]
             blk[f"rdb{j}"] = rdb
         out[f"rrdb_{i}"] = blk
-    for name in ("trunk_conv", "upconv1", "upconv2", "hr_conv", "conv_last"):
+    for name in ("trunk_conv", "hr_conv", "conv_last"):
         out[name] = conv_params(sd, f"{p}{name}")
+    for name in ("upconv1", "upconv2"):
+        cp = conv_params(sd, f"{p}{name}")
+        out[f"{name}_kernel"] = cp["kernel"]
+        out[f"{name}_bias"] = cp["bias"]
     return out
 
 

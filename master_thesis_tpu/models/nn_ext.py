@@ -30,6 +30,74 @@ def _uniform(bound):
     return init
 
 
+def compose_conv_kernels(
+    wa: jnp.ndarray, sa: int, wb: jnp.ndarray
+) -> jnp.ndarray:
+    """Kernel of the composition ``conv(conv(x, wa, stride=sa), wb)``.
+
+    Both kernels HWIO, zero padding assumed on both convs (the composite is
+    then a single zero-padded conv — valid because zero padding equals
+    convolving on the zero-extended plane, where composition of
+    translation-invariant linear ops is itself one conv). Biases are NOT
+    composed — handle them via a zero-input response (see RRDBNet head).
+
+    Composite kernel size ``ka + sa * (kb - 1)``; composite stride
+    ``sa * sb``; composite padding ``pa + sa * pb``.
+    """
+    ka = wa.shape[0]
+    kb = wb.shape[0]
+    ci = wa.shape[2]
+    # W_c[u, ci, co] = sum_v wb[v, cm, co] * wa[u - sa*v, ci, cm]
+    #               = correlation of wa (as ci-batch images over cm channels)
+    #                 with the spatially flipped wb, rhs-dilated by sa.
+    img = wa.transpose(2, 0, 1, 3)  # (ci, ka, ka, cm)
+    fil = wb[::-1, ::-1]  # (kb, kb, cm, co)
+    pad = sa * (kb - 1)
+    out = jax.lax.conv_general_dilated(
+        img,
+        fil,
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        rhs_dilation=(sa, sa),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (ci, kc, kc, co)
+    return out.transpose(1, 2, 0, 3)
+
+
+def fused_upsample_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Rewrites a 3x3 kernel applied after nearest-2x upsampling as one
+    low-resolution 4-phase conv kernel ``(3, 3, C, 4*O)``.
+
+    Identity: ``conv3x3(pad1(up2x(y)))[2i+a, 2j+b] = sum_{ki,kj}
+    W[ki,kj] * y[i + floor((a+ki-1)/2), j + floor((b+kj-1)/2)]`` — a 2-tap
+    window per axis per phase. Phases are packed into output channels
+    (ordering ``(a, b, o)``) and un-packed by pixel shuffle. Exact
+    regrouping (borders included: the upsampled zero pad maps to the
+    low-res zero pad), ~4x fewer activation bytes touched and full MXU
+    output lanes (4*O channels).
+    """
+    c, o = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, c, 2, 2, o), dtype=w.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            for ki in range(3):
+                for kj in range(3):
+                    di = (a + ki - 1) // 2  # floor division handles -1
+                    dj = (b + kj - 1) // 2
+                    out = out.at[di + 1, dj + 1, :, a, b, :].add(w[ki, kj])
+    return out.reshape(3, 3, c, 4 * o)
+
+
+def pixel_shuffle_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, h, w, 4*O) with (a, b, o) channel packing -> (N, 2h, 2w, O)."""
+    n, h, w, c4 = x.shape
+    o = c4 // 4
+    x = x.reshape(n, h, w, 2, 2, o)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, 2 * h, 2 * w, o)
+
+
 class Conv(nn.Module):
     """2-D conv (NHWC, cross-correlation) with explicit symmetric padding.
 

@@ -1,10 +1,15 @@
-"""Test config: run JAX on a virtual 8-device CPU mesh (no TPU needed)."""
+"""Test config: force local CPU JAX.
+
+This machine's ``sitecustomize`` (PYTHONPATH: /root/.axon_site) registers a
+remote-TPU PJRT plugin and initializes JAX at interpreter startup, so
+neither platform nor device count can be changed from here. We pin the
+platform to CPU (effective because the axon plugin only claims the 'axon'
+platform) and run multi-device tests in subprocesses with a cleaned
+environment (see tests/test_parallel.py: _run_clean).
+"""
 
 import os
 
-# Force CPU: the session environment points JAX at the remote TPU (axon),
-# which is both slow to compile against and a shared resource — unit tests
-# must run on the local virtual-device CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

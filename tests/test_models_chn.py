@@ -71,6 +71,19 @@ def test_rrdbnet_matches_torch(rng):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_rrdbnet_matches_torch_composed_head_path(rng):
+    """Input large enough to exercise the composed-head + strip path
+    (32x32 -> 8x8 trunk: interior + border bands both present)."""
+    nb = 1
+    sd = make_rrdbnet_sd(rng, nb=nb)
+    x = rng.rand(2, 32, 32, 9).astype(np.float32)
+    params = {"params": convert.rrdbnet_from_torch(sd, nb=nb)}
+    mod = RRDBNet(out_nc=3, nb=nb, nf=16, gc=8)
+    got = np.asarray(mod.apply(params, jnp.asarray(x)))
+    want = torch_ref.nhwc(torch_rrdbnet(sd, torch_ref.nchw(x), nb=nb))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_chn_forward_composite(rng):
     """y_hat_comp keeps visible pixels, fills holes with network output."""
     nb = 1

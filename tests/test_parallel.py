@@ -1,0 +1,128 @@
+"""Mesh/sharding tests.
+
+Multi-device tests run in subprocesses with a cleaned environment: the
+machine's sitecustomize initializes JAX with the remote-TPU plugin at
+interpreter startup, which pins the in-process device count to 1. A child
+process with the axon site stripped from PYTHONPATH gets a fresh 8-device
+virtual CPU backend.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_clean(code: str, timeout: int = 600) -> str:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("MTT_TESTS_REEXEC", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
+    return out.stdout
+
+
+def test_mesh_and_dp_grad_equivalence():
+    out = _run_clean(
+        """
+import jax, jax.numpy as jnp, numpy as np
+from master_thesis_tpu.parallel import batch_sharding, make_mesh, replicated, shard_batch
+from jax.sharding import PartitionSpec as P
+
+assert len(jax.devices()) == 8
+mesh = make_mesh()
+assert mesh.devices.size == 8
+mesh = make_mesh(data=4, model=2)
+assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"data": 4, "model": 2}
+try:
+    make_mesh(data=16, model=1)
+    raise SystemExit("expected ValueError")
+except ValueError:
+    pass
+
+batch = {"x": np.zeros((8, 5, 8, 8, 3), np.float32), "names": ["a"] * 8}
+out = shard_batch(batch, mesh)
+assert out["x"].sharding.spec == P("data")
+assert out["names"] == batch["names"]
+
+rng = np.random.RandomState(0)
+mesh = make_mesh(data=8, model=1)
+w = jnp.asarray(rng.randn(16, 4).astype(np.float32))
+x = rng.randn(32, 16).astype(np.float32)
+y = rng.randn(32, 4).astype(np.float32)
+loss = lambda w, x, y: jnp.mean((x @ w - y) ** 2)
+g1 = jax.grad(loss)(w, jnp.asarray(x), jnp.asarray(y))
+g2 = jax.jit(jax.grad(loss))(
+    jax.device_put(w, replicated(mesh)),
+    jax.device_put(x, batch_sharding(mesh)),
+    jax.device_put(y, batch_sharding(mesh)),
+)
+np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-5)
+print("DP-EQUIV-OK")
+"""
+    )
+    assert "DP-EQUIV-OK" in out
+
+
+def test_chn_train_step_dp_sp_matches_unsharded():
+    out = _run_clean(
+        """
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from master_thesis_tpu.config import Config
+from master_thesis_tpu.models.chn import CHN
+from master_thesis_tpu.models.vgg import VGGFeatures
+from master_thesis_tpu.parallel import batch_sharding, make_mesh
+from master_thesis_tpu.train import chn_task, state as state_lib
+
+rng = np.random.RandomState(0)
+cfg = Config(lr=1e-3)
+h = w = 16
+chn = CHN(nb=1, nf=8, gc=4)
+z = jnp.zeros
+params = chn.init(jax.random.PRNGKey(0), z((1, h, w, 3)), z((1, h, w, 1)),
+                  z((1, 1, h, w, 3)), z((1, 1, h, w, 1)), z((1, 1, h, w, 1)))
+vgg = VGGFeatures()
+vgg_params = vgg.init(jax.random.PRNGKey(1), z((1, h, w, 3)))
+vgg_apply = lambda x, normalize_input=True: vgg.apply(vgg_params, x, normalize_input=normalize_input)
+align = lambda x_t, m_t, x_r, m_r: (x_r, 1 - m_r, jnp.clip((1 - m_r) - (1 - m_t[:, None]), 0, 1))
+
+b, f = 8, 3
+y = rng.rand(b, f, h, w, 3).astype(np.float32)
+m = (rng.rand(b, f, h, w, 1) > 0.8).astype(np.float32)
+x = (1 - m) * y + m * 0.45
+
+st = state_lib.create_train_state(chn.apply, params, cfg, steps_per_epoch=10)
+st1, items1 = chn_task.make_train_step(chn.apply, align, vgg_apply)(
+    st, jnp.asarray(x), jnp.asarray(m), jnp.asarray(y))
+
+mesh = make_mesh(data=4, model=2)
+step = chn_task.make_train_step(chn.apply, align, vgg_apply,
+                                ref_sharding=NamedSharding(mesh, P("data", "model")))
+dp = batch_sharding(mesh)
+st2, items2 = step(st, jax.device_put(x, dp), jax.device_put(m, dp), jax.device_put(y, dp))
+np.testing.assert_allclose(float(items1["loss"]), float(items2["loss"]), rtol=1e-5)
+for a, b_ in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+print("DP-SP-STEP-OK")
+"""
+    )
+    assert "DP-SP-STEP-OK" in out
+
+
+def test_graft_dryrun_multichip():
+    """The driver's multi-chip dry run compiles and executes on 8 virtual
+    CPU devices with DP+SP+TP shardings."""
+    out = _run_clean(
+        "import __graft_entry__ as g; g.dryrun_multichip(8)", timeout=900
+    )
+    assert "dryrun_multichip(8) OK" in out
