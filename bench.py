@@ -22,6 +22,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from master_thesis_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from master_thesis_tpu.models.chn import CHN
     from master_thesis_tpu.models.cpn import CPN
 

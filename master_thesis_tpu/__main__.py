@@ -176,6 +176,9 @@ def run_chn_test(cfg):
 
 
 def main(argv=None):
+    from master_thesis_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser("master_thesis_tpu")
     Config.add_argparse_args(parser)
     cfg = Config.from_args(parser.parse_args(argv))

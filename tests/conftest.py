@@ -20,6 +20,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Persistent compilation cache: the parity tests compile many conv graphs;
+# repeat suite runs skip straight to execution.
+from master_thesis_tpu.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_cpu")
+)
+
 
 @pytest.fixture
 def rng():
