@@ -1,0 +1,203 @@
+"""Benchmark suite for the five BASELINE.md / BASELINE.json configs.
+
+``bench.py`` stays the single-line headline bench (config 3); this script
+measures all five and prints one JSON line per config. Random weights —
+these are throughput measurements, not quality ones.
+
+    python benchmarks.py            # all configs
+    python benchmarks.py 1 3       # subset
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, iters=5):
+    out = fn(*args)
+    _force(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _force(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _force(out):
+    import jax
+
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
+def _emit(name, frames, secs, extra=None):
+    rec = {
+        "metric": name,
+        "value": round(frames / secs, 2),
+        "unit": "frames/s/chip",
+        "step_ms": round(secs * 1e3, 1),
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+
+
+def _models(nb=20):
+    import jax
+    import jax.numpy as jnp
+
+    from master_thesis_tpu.models.chn import CHN
+    from master_thesis_tpu.models.cpn import CPN
+
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros
+    cpn = CPN(dtype=jnp.bfloat16)
+    chn = CHN(nb=nb, dtype=jnp.bfloat16)
+    cpn_p = cpn.init(key, z((1, 64, 64, 3)), z((1, 64, 64, 1)), z((1, 1, 64, 64, 3)), z((1, 1, 64, 64, 1)))
+    chn_p = chn.init(
+        key, z((1, 64, 64, 3)), z((1, 64, 64, 1)), z((1, 1, 64, 64, 3)),
+        z((1, 1, 64, 64, 1)), z((1, 1, 64, 64, 1)),
+    )
+    return cpn, cpn_p, chn, chn_p
+
+
+def _data(rng, b, f, h, w):
+    import jax.numpy as jnp
+
+    y = rng.rand(b, f, h, w, 3).astype(np.float32)
+    m = (rng.rand(b, f, h, w, 1) > 0.9).astype(np.float32)
+    x = (1 - m) * y + m * 0.45
+    t = f // 2
+    r = [i for i in range(f) if i != t]
+    return (
+        jnp.asarray(x[:, t]), jnp.asarray(m[:, t]),
+        jnp.asarray(x[:, r]), jnp.asarray(m[:, r]),
+    )
+
+
+def config_1():
+    """DFPN alignment: 2 frames @ 256², single clip forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from master_thesis_tpu.config import Config
+    from master_thesis_tpu.train import build as build_mod
+
+    cfg = Config(compute_dtype="bfloat16")
+    _, _, vgg_apply = build_mod.build_vgg(cfg)
+    model, params = build_mod.build_dfpn(cfg, vgg_apply)
+    align_fn = jax.jit(build_mod.dfpn_align_fn(cfg, model, params, vgg_apply))
+
+    rng = np.random.RandomState(0)
+    b = 8
+    x_t, m_t, x_r, m_r = _data(rng, b, 2, 256, 256)
+    dt = _timeit(align_fn, x_t, m_t, x_r, m_r)
+    _emit("config1: DFPN alignment (2 frames @256px)", b * 1, dt, {"batch": b})
+
+
+def config_2():
+    """CPN aligner inference: 5 refs @ 256²."""
+    import jax
+
+    from master_thesis_tpu.models.cpn import CPN
+
+    cpn, cpn_p, _, _ = _models(nb=1)
+    align = jax.jit(lambda p, a, b_, c, d: cpn.apply(p, a, b_, c, d, method=CPN.align))
+    rng = np.random.RandomState(0)
+    b = 8
+    x_t, m_t, x_r, m_r = _data(rng, b, 6, 256, 256)
+    dt = _timeit(align, cpn_p, x_t, m_t, x_r, m_r)
+    _emit("config2: CPN align (5 refs @256px)", b * 5, dt, {"batch": b})
+
+
+def config_3():
+    """CHN + CPN copy-and-hallucinate, 5 refs @ 256² (the headline)."""
+    import jax
+
+    from master_thesis_tpu.models.cpn import CPN
+
+    cpn, cpn_p, chn, chn_p = _models()
+
+    @jax.jit
+    def step(cp, hp, x_t, m_t, x_r, m_r):
+        xa, va, vm = cpn.apply(cp, x_t, m_t, x_r, m_r, method=CPN.align)
+        _, comp = chn.apply(hp, x_t, 1 - m_t, xa, va, vm)
+        return comp
+
+    rng = np.random.RandomState(0)
+    b = 8
+    x_t, m_t, x_r, m_r = _data(rng, b, 6, 256, 256)
+    dt = _timeit(step, cpn_p, chn_p, x_t, m_t, x_r, m_r)
+    _emit("config3: CHN+CPN inpaint (5 refs @256px)", b, dt, {"batch": b})
+
+
+def config_4():
+    """CHN + DFPN end-to-end (flow warp + hallucination)."""
+    import jax
+
+    from master_thesis_tpu.config import Config
+    from master_thesis_tpu.train import build as build_mod
+
+    cfg = Config(compute_dtype="bfloat16")
+    _, _, vgg_apply = build_mod.build_vgg(cfg)
+    model, params = build_mod.build_dfpn(cfg, vgg_apply)
+    align_fn = build_mod.dfpn_align_fn(cfg, model, params, vgg_apply)
+    _, _, chn, chn_p = _models()
+
+    @jax.jit
+    def step(hp, x_t, m_t, x_r, m_r):
+        xa, va, vm = align_fn(x_t, m_t, x_r, m_r)
+        _, comp = chn.apply(hp, x_t, 1 - m_t, xa, va, vm)
+        return comp
+
+    rng = np.random.RandomState(0)
+    b = 4
+    x_t, m_t, x_r, m_r = _data(rng, b, 6, 256, 256)
+    dt = _timeit(step, chn_p, x_t, m_t, x_r, m_r)
+    _emit("config4: CHN+DFPN inpaint (5 refs @256px)", b, dt, {"batch": b})
+
+
+def config_5():
+    """Full-video sweep: all 3 algorithms, frames_n>=9 @512px."""
+    import jax
+
+    from master_thesis_tpu.infer.algorithms import Inpainter
+    from master_thesis_tpu.models.cpn import CPN
+
+    cpn, cpn_p, chn, chn_p = _models()
+    align_fn = lambda a, b_, c, d: cpn.apply(cpn_p, a, b_, c, d, method=CPN.align)
+    inp = Inpainter(chn.apply, chn_p, align_fn)
+
+    rng = np.random.RandomState(0)
+    F, h, w = 12, 512, 512
+    y = rng.rand(F, h, w, 3).astype(np.float32)
+    m = np.zeros((F, h, w, 1), np.float32)
+    for t in range(F):
+        m[t, 180 + 4 * t : 300 + 4 * t, 200:330] = 1
+    x = (1 - m) * y + m * 0.45
+
+    for algo in ("ff", "ip", "cp"):
+        fn = getattr(inp, f"inpaint_{algo}")
+        fn(x, m)  # warmup/compile
+        t0 = time.perf_counter()
+        out = fn(x, m)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(out).all()
+        _emit(f"config5-{algo}: full-video ({F} frames @512px)", F, dt)
+
+
+def main():
+    from master_thesis_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    wanted = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    for n in wanted:
+        globals()[f"config_{n}"]()
+
+
+if __name__ == "__main__":
+    main()

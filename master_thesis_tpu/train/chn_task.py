@@ -94,7 +94,7 @@ def make_train_step(
             return t
         return jax.lax.with_sharding_constraint(t, ref_sharding)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, x, m, y):
         frames_n = x.shape[1]
         t, r_list = target_ref_indexes(frames_n)

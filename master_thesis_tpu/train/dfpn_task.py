@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -169,7 +171,7 @@ def log_alignment_frames(
 
 
 def make_train_step(dfpn_apply: Callable, vgg_apply: Callable):
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, x, m, y, flow_gt, flows_use):
         def loss_fn(params):
             return forward_and_loss(
