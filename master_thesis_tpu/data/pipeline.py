@@ -305,17 +305,12 @@ class InpaintingDataset:
             y = interp.resize_hw_np(y, self.image_size, mode="bilinear")
             gt_movement = interp.resize_hw_np(gt_movement, self.image_size, mode="nearest")
         else:
+            from master_thesis_tpu.ops.movements import crop_flow_np
+
             ph = rng.randint(0, y.shape[1] - self.image_size[0] + 1)
             pw = rng.randint(0, y.shape[2] - self.image_size[1] + 1)
-            from master_thesis_tpu.ops import flows as flows_ops
-            import jax.numpy as jnp
-
             y = y[:, ph : ph + self.image_size[0], pw : pw + self.image_size[1]]
-            gt_movement = np.asarray(
-                flows_ops.crop_flow(
-                    jnp.asarray(gt_movement[None]), self.image_size, (ph, pw)
-                )
-            )[0]
+            gt_movement = crop_flow_np(gt_movement, self.image_size, (ph, pw))
 
         if self.image_size != (m.shape[1], m.shape[2]):
             m = interp.resize_hw_np(m, self.image_size, mode="nearest")

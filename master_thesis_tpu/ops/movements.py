@@ -154,6 +154,25 @@ def affine_grid_np(
     )
 
 
+def identity_grid_np(h: int, w: int) -> np.ndarray:
+    xs = np.linspace(-1.0, 1.0, w, dtype=np.float32)
+    ys = np.linspace(-1.0, 1.0, h, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, ys)
+    return np.stack([gx, gy], axis=-1)
+
+
+def crop_flow_np(flow: np.ndarray, crop_size, crop_position) -> np.ndarray:
+    """Numpy twin of ops.flows.crop_flow for the host pipeline (keeps data
+    workers off the accelerator). flow: ``(F, H, W, 2)`` absolute."""
+    h, w = flow.shape[-3], flow.shape[-2]
+    ch, cw = crop_size
+    ph, pw = crop_position
+    rel = flow - identity_grid_np(h, w)
+    rel = rel[..., ph : ph + ch, pw : pw + cw, :]
+    rel = rel * np.asarray([w / cw, h / ch], dtype=flow.dtype)
+    return rel + identity_grid_np(ch, cw)
+
+
 def grid_sample_bilinear_np(
     x: np.ndarray, grid: np.ndarray, align_corners: bool = True
 ) -> np.ndarray:

@@ -54,3 +54,35 @@ def test_resize_flow_matches_torch(rng):
         .numpy()
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_crop_flow_np_matches_jnp(rng):
+    from master_thesis_tpu.ops.movements import crop_flow_np
+
+    f = rng.randn(2, 20, 24, 2).astype(np.float32) * 0.5
+    got = crop_flow_np(f, (8, 10), (3, 5))
+    want = np.asarray(flows.crop_flow(jnp.asarray(f[None]), (8, 10), (3, 5)))[0]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_crop_branch_of_dataset(rng, tmp_path):
+    """image_resize=False exercises the numpy crop path end to end."""
+    from master_thesis_tpu.config import Config
+    from master_thesis_tpu.data.pipeline import ContentProvider, InpaintingDataset
+    from tests.fixtures import make_fake_data_root
+
+    root = make_fake_data_root(str(tmp_path), size=(64, 80), frames=12)
+    from master_thesis_tpu.data import meta as meta_mod
+
+    cfg = Config(
+        data_path=root, image_resize=False, train_size=(48, 48), frames_n=3,
+        min_mask_size=0.0, max_mask_size=1.0, p_simulator_bgs=0.0,
+    )
+    bgs_meta = meta_mod.get_meta_got10k(root, "train")
+    masks_meta = meta_mod.get_meta_youtube_vos(root, "train")
+    bgs = ContentProvider(bgs_meta, root)
+    masks = ContentProvider(masks_meta, root)
+    ds = InpaintingDataset(bgs, masks, "train", cfg)
+    (x, m), y, info = ds.get_item(0, np.random.RandomState(0))
+    assert x.shape == (3, 48, 48, 3)
+    assert info["gt_movement"].shape == (3, 48, 48, 2)
