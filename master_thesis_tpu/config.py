@@ -62,6 +62,7 @@ class Config:
 
     # --- TPU-native knobs (new; no reference equivalent) ---
     chn_nb: int = 20  # RRDB block count (reference fixes 20, model_chn.py:31)
+    chn_remat: bool = False  # rematerialize RRDB blocks in training
     compute_dtype: str = "bfloat16"  # dtype for conv compute inside models
     param_dtype: str = "float32"
     mesh_data: int = -1  # -1 = all devices on the data axis
@@ -129,6 +130,7 @@ class Config:
         parser.add_argument("--resume_from_checkpoint")
 
         parser.add_argument("--chn_nb", type=int, default=20)
+        parser.add_argument("--chn_remat", type=bool, default=False)
         parser.add_argument("--vgg_checkpoint")
         parser.add_argument("--lpips_checkpoint")
         parser.add_argument("--compute_dtype", default="bfloat16")

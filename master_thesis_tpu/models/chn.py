@@ -155,6 +155,7 @@ class RRDBNet(nn.Module):
     nf: int = 64
     gc: int = 32
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize RRDB blocks (memory <-> FLOPs)
 
     @nn.compact
     def __call__(self, x):
@@ -225,8 +226,9 @@ class RRDBNet(nn.Module):
             y = y.at[:, :, :2].set(lef).at[:, :, -2:].set(rig)
 
         trunk = y
+        block_cls = nn.remat(RRDB) if self.remat else RRDB
         for i in range(self.nb):
-            trunk = RRDB(self.nf, self.gc, self.dtype, name=f"rrdb_{i}")(trunk)
+            trunk = block_cls(self.nf, self.gc, self.dtype, name=f"rrdb_{i}")(trunk)
         y = y + conv(self.nf, "trunk_conv")(trunk)
 
         def up_conv(name, inp):
@@ -262,6 +264,7 @@ class CHN(nn.Module):
     nf: int = 64
     gc: int = 32
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x_target, v_target, x_refs_aligned, v_refs_aligned, v_maps):
@@ -284,7 +287,8 @@ class CHN(nn.Module):
         ).reshape(b * f, h, w, 9)
 
         nn_output = RRDBNet(
-            out_nc=3, nb=self.nb, nf=self.nf, gc=self.gc, dtype=self.dtype, name="nn"
+            out_nc=3, nb=self.nb, nf=self.nf, gc=self.gc, dtype=self.dtype,
+            remat=self.remat, name="nn",
         )(nn_input).reshape(b, f, h, w, 3)
 
         y_hat = jnp.clip(nn_output.astype(jnp.float32) * std + mean, 0.0, 1.0)

@@ -95,7 +95,7 @@ def dfpn_align_fn(cfg, dfpn_model, dfpn_params, vgg_apply: Callable) -> Callable
 
 
 def build_chn(cfg, params=None, rng_seed: int = 4):
-    model = CHN(nb=cfg.chn_nb, dtype=_dtype(cfg))
+    model = CHN(nb=cfg.chn_nb, dtype=_dtype(cfg), remat=getattr(cfg, "chn_remat", False))
     if params is None:
         z = jnp.zeros
         params = model.init(
