@@ -63,12 +63,21 @@ def grid_sample(
     return grid_sample_gather(x, grid, mode=mode, align_corners=align_corners)
 
 
+def _auto_row_chunk(n: int, h: int, wo: int, c: int, budget_bytes: int = 96 << 20) -> int:
+    """Chunk size keeping the scan's (N, T, H, W', C) f32 intermediate under
+    a fixed budget — at high resolutions a fixed T=8 balloons to hundreds of
+    MB and thrashes HBM."""
+    per_row = n * h * wo * max(c, 1) * 4
+    t = max(1, budget_bytes // max(per_row, 1))
+    return int(min(8, t))
+
+
 def grid_sample_mm(
     x: jnp.ndarray,
     grid: jnp.ndarray,
     mode: str = "bilinear",
     align_corners: bool = True,
-    row_chunk: int = 8,
+    row_chunk: int = 0,
 ) -> jnp.ndarray:
     """Warp as two tent-weight contractions on the MXU.
 
@@ -103,6 +112,8 @@ def grid_sample_mm(
         raise ValueError(f"unknown grid_sample mode: {mode}")
 
     # Pad output rows to a multiple of the chunk size.
+    if row_chunk <= 0:
+        row_chunk = _auto_row_chunk(n, h, wo, c)
     t = min(row_chunk, ho)
     pad = (-ho) % t
     if pad:
