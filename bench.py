@@ -26,7 +26,7 @@ def main():
 
     enable_compilation_cache()
 
-    from master_thesis_tpu.models.chn import CHN
+    from master_thesis_tpu.models.chn import CHN, chn_infer_apply
     from master_thesis_tpu.models.cpn import CPN
 
     b, f, h, w = 8, 5, 256, 256
@@ -48,7 +48,8 @@ def main():
     @jax.jit
     def inpaint_step(cpn_p, chn_p, x_t, m_t, x_r, m_r):
         xa, va, vm = cpn.apply(cpn_p, x_t, m_t, x_r, m_r, method=CPN.align)
-        _, y_hat_comp = chn.apply(chn_p, x_t, 1 - m_t, xa, va, vm)
+        # Serving path: fused Pallas RRDB trunk (ops/pallas_rrdb.py).
+        _, y_hat_comp = chn_infer_apply(chn_p, x_t, 1 - m_t, xa, va, vm, nb=20)
         return y_hat_comp
 
     x_t = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)

@@ -132,6 +132,106 @@ class RRDB(nn.Module):
         return 0.2 * y + x
 
 
+def _conv_nhwc(x, kernel, bias=None, stride=1, pad=1, dtype=jnp.float32):
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype),
+        window_strides=(stride, stride), padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if bias is not None:
+        out = out + bias.astype(dtype)
+    return out
+
+
+_HEAD_STRIDES = (1, 1, 2, 1, 2)
+
+
+def rrdbnet_head_forward(params, x, dtype):
+    """The RRDBNet head (5 bare convs, reference model_chn.py:522-528),
+    computed as a composed 15x15 stride-4 conv + exact border strips.
+
+    The head has no activations, so it is one linear map: the bias-free
+    kernels compose into a single conv (nn_ext.compose_conv_kernels) and the
+    biases' exact contribution — including their zero-padding border
+    structure — is the head's zero-input response. The nested head's
+    per-layer zero padding truncates intermediate borders, so composed !=
+    nested within a 2-row/col output band; that band is recomputed exactly
+    from 16-row/col input strips (strip row r aligns with full-image output
+    row r; 16 input rows give 4 output rows of which the first 2 are
+    divergence-free).
+    """
+    from master_thesis_tpu.models.nn_ext import compose_conv_kernels
+
+    head = [
+        (params[f"conv_first_{i}_kernel"], params[f"conv_first_{i}_bias"])
+        for i in range(5)
+    ]
+
+    def run_head_exact(inp):
+        h = inp
+        for (wk, bk), s in zip(head, _HEAD_STRIDES):
+            h = _conv_nhwc(h, wk, bk, stride=s, dtype=dtype)
+        return h
+
+    hh, ww = x.shape[1], x.shape[2]
+    h_out, w_out = (hh + 14 - 15) // 4 + 1, (ww + 14 - 15) // 4 + 1
+    if h_out <= 4 or w_out <= 4 or hh % 4 or ww % 4:
+        # Small/odd inputs: the whole output is border band — run nested.
+        return run_head_exact(x)
+
+    w_eff = head[0][0]
+    for (wk, _), s_prev in zip(head[1:], np.cumprod(_HEAD_STRIDES)[:-1]):
+        w_eff = compose_conv_kernels(w_eff, int(s_prev), wk)
+    y = _conv_nhwc(x, w_eff, stride=4, pad=7, dtype=dtype)
+    y = y + run_head_exact(jnp.zeros_like(x[:1]))
+    top = run_head_exact(x[:, :16])[:, :2]
+    bot = run_head_exact(x[:, -16:])[:, -2:]
+    y = y.at[:, :2].set(top).at[:, -2:].set(bot)
+    lef = run_head_exact(x[:, :, :16])[:, :, :2]
+    rig = run_head_exact(x[:, :, -16:])[:, :, -2:]
+    return y.at[:, :, :2].set(lef).at[:, :, -2:].set(rig)
+
+
+def rrdbnet_tail_forward(params, y, dtype):
+    """upconv1/2 (fused phase convs + pixel shuffle), hr_conv, conv_last."""
+    from master_thesis_tpu.models.nn_ext import (
+        fused_upsample_conv_kernel,
+        pixel_shuffle_2x,
+    )
+
+    def up_conv(name, inp):
+        w4 = fused_upsample_conv_kernel(params[f"{name}_kernel"])
+        out = _conv_nhwc(inp, w4, dtype=dtype)
+        return pixel_shuffle_2x(out) + params[f"{name}_bias"].astype(dtype)
+
+    y = leaky_relu(up_conv("upconv1", y))
+    y = leaky_relu(up_conv("upconv2", y))
+    y = leaky_relu(_conv_nhwc(y, params["hr_conv_kernel"], params["hr_conv_bias"], dtype=dtype))
+    return _conv_nhwc(y, params["conv_last_kernel"], params["conv_last_bias"], dtype=dtype)
+
+
+def rrdbnet_infer_apply(
+    params, x, nb: int, nf: int = 64, gc: int = 32,
+    dtype=jnp.bfloat16, pallas_trunk: bool = True, interpret: bool = False,
+):
+    """Pure-function RRDBNet forward for inference/serving.
+
+    Identical math to ``RRDBNet.__call__`` but with the trunk running as the
+    fused Pallas kernel (ops/pallas_rrdb.py) — ~1.5x over the XLA trunk on
+    v5e. Forward-only (the kernel defines no VJP); training uses the module.
+    """
+    from master_thesis_tpu.ops.pallas_rrdb import rrdb_trunk_pallas
+
+    y = rrdbnet_head_forward(params, x, dtype)
+    if pallas_trunk:
+        trunk = rrdb_trunk_pallas(y, params, nb=nb, nf=nf, gc=gc, interpret=interpret)
+    else:
+        raise NotImplementedError("use RRDBNet.apply for the XLA trunk")
+    y = y + _conv_nhwc(trunk, params["trunk_conv_kernel"], params["trunk_conv_bias"], dtype=dtype)
+    return rrdbnet_tail_forward(params, y, dtype)
+
+
 class RRDBNet(nn.Module):
     """RRDB generator (reference model_chn.py:506-555).
 
@@ -159,18 +259,9 @@ class RRDBNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from master_thesis_tpu.models.nn_ext import (
-            _uniform,
-            compose_conv_kernels,
-            fused_upsample_conv_kernel,
-            pixel_shuffle_2x,
-        )
+        from master_thesis_tpu.models.nn_ext import _uniform
 
         nf = self.nf
-        conv = lambda f, name, s=(1, 1): Conv(
-            features=f, kernel_size=(3, 3), strides=s, padding=(1, 1),
-            dtype=self.dtype, name=name,
-        )
 
         def raw_conv_params(name, in_c, out_c):
             bound = (3.0 / (in_c * 9)) ** 0.5
@@ -178,73 +269,62 @@ class RRDBNet(nn.Module):
             b = self.param(f"{name}_bias", _uniform(bound), (out_c,), jnp.float32)
             return k, b
 
+        # Declare every non-trunk parameter flat so the pure-function paths
+        # (rrdbnet_head_forward / rrdbnet_tail_forward / rrdbnet_infer_apply)
+        # consume the same tree.
+        own = {}
         in_c = x.shape[-1]
-        head = [raw_conv_params(f"conv_first_{i}", in_c if i == 0 else nf, nf) for i in range(5)]
-        head_strides = [1, 1, 2, 1, 2]
+        for i in range(5):
+            k, b = raw_conv_params(f"conv_first_{i}", in_c if i == 0 else nf, nf)
+            own[f"conv_first_{i}_kernel"] = k
+            own[f"conv_first_{i}_bias"] = b
+        for name, (ci, co) in (
+            ("trunk_conv", (nf, nf)), ("upconv1", (nf, nf)), ("upconv2", (nf, nf)),
+            ("hr_conv", (nf, nf)), ("conv_last", (nf, self.out_nc)),
+        ):
+            k, b = raw_conv_params(name, ci, co)
+            own[f"{name}_kernel"] = k
+            own[f"{name}_bias"] = b
 
-        def run_head_exact(inp):
-            """The reference's nested 5-conv head (per-layer zero padding)."""
-            h = inp
-            for (wk, bk), s in zip(head, head_strides):
-                h = jax.lax.conv_general_dilated(
-                    h.astype(self.dtype), wk.astype(self.dtype),
-                    window_strides=(s, s), padding=((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    precision=jax.lax.Precision.HIGHEST,
-                ) + bk.astype(self.dtype)
-            return h
-
-        hh, ww = x.shape[1], x.shape[2]
-        h_out, w_out = (hh + 14 - 15) // 4 + 1, (ww + 14 - 15) // 4 + 1
-        if h_out <= 4 or w_out <= 4 or hh % 4 or ww % 4:
-            # Small/odd inputs: the whole output is border band — run nested.
-            y = run_head_exact(x)
-        else:
-            # Interior: one composed 15x15 stride-4 conv (bias contribution =
-            # the head's zero-input response, which carries the biases' exact
-            # border structure). The nested head's per-layer zero padding
-            # truncates intermediate borders, so composed != nested within a
-            # 2-row/col output band; recompute that band exactly from
-            # 16-row/col input strips (strip row r aligns with full-image
-            # output row r; 16 input rows give 4 output rows of which the
-            # first 2 are divergence-free).
-            w_eff = head[0][0]
-            for (wk, _), s_prev in zip(head[1:], np.cumprod(head_strides)[:-1]):
-                w_eff = compose_conv_kernels(w_eff, int(s_prev), wk)
-            lin = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), w_eff.astype(self.dtype),
-                window_strides=(4, 4), padding=((7, 7), (7, 7)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            y = lin + run_head_exact(jnp.zeros_like(x[:1]))
-            top = run_head_exact(x[:, :16])[:, :2]
-            bot = run_head_exact(x[:, -16:])[:, -2:]
-            y = y.at[:, :2].set(top).at[:, -2:].set(bot)
-            lef = run_head_exact(x[:, :, :16])[:, :, :2]
-            rig = run_head_exact(x[:, :, -16:])[:, :, -2:]
-            y = y.at[:, :, :2].set(lef).at[:, :, -2:].set(rig)
+        y = rrdbnet_head_forward(own, x, self.dtype)
 
         trunk = y
         block_cls = nn.remat(RRDB) if self.remat else RRDB
         for i in range(self.nb):
             trunk = block_cls(self.nf, self.gc, self.dtype, name=f"rrdb_{i}")(trunk)
-        y = y + conv(self.nf, "trunk_conv")(trunk)
+        y = y + _conv_nhwc(
+            trunk, own["trunk_conv_kernel"], own["trunk_conv_bias"], dtype=self.dtype
+        )
+        return rrdbnet_tail_forward(own, y, self.dtype)
 
-        def up_conv(name, inp):
-            wk, bk = raw_conv_params(name, nf, nf)
-            w4 = fused_upsample_conv_kernel(wk)
-            out = jax.lax.conv_general_dilated(
-                inp.astype(self.dtype), w4.astype(self.dtype),
-                window_strides=(1, 1), padding=((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return pixel_shuffle_2x(out) + bk.astype(self.dtype)
 
-        y = leaky_relu(up_conv("upconv1", y))
-        y = leaky_relu(up_conv("upconv2", y))
-        return conv(self.out_nc, "conv_last")(leaky_relu(conv(self.nf, "hr_conv")(y)))
+def chn_infer_apply(
+    variables, x_target, v_target, x_refs_aligned, v_refs_aligned, v_maps,
+    nb: int = 20, nf: int = 64, gc: int = 32, dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Pure-function CHN forward for inference/serving: identical math to
+    ``CHN.__call__`` with the RRDB trunk running as the fused Pallas kernel.
+
+    Used by bench.py and the full-video algorithms; training uses the module
+    (the kernel is forward-only).
+    """
+    params = variables["params"]["nn"]
+    b, f, h, w, c = x_refs_aligned.shape
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=x_target.dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype=x_target.dtype)
+    x_t = jnp.broadcast_to(x_target[:, None], (b, f, h, w, c))
+    v_t = jnp.broadcast_to(v_target[:, None], (b, f, h, w, 1))
+    nn_input = jnp.concatenate(
+        [(x_t - mean) / std, (x_refs_aligned - mean) / std, v_t, v_refs_aligned, v_maps],
+        axis=-1,
+    ).reshape(b * f, h, w, 9)
+    nn_output = rrdbnet_infer_apply(
+        params, nn_input, nb=nb, nf=nf, gc=gc, dtype=dtype, interpret=interpret
+    ).reshape(b, f, h, w, 3)
+    y_hat = jnp.clip(nn_output.astype(jnp.float32) * std + mean, 0.0, 1.0)
+    y_hat_comp = v_t * x_t + (1 - v_t) * y_hat
+    return y_hat, y_hat_comp
 
 
 class CHN(nn.Module):

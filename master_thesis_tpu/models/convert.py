@@ -133,9 +133,7 @@ def rrdbnet_from_torch(sd: Mapping, prefix: str = "", nb: int = 20) -> Dict:
                 rdb[f"conv{k}_bias"] = cp["bias"]
             blk[f"rdb{j}"] = rdb
         out[f"rrdb_{i}"] = blk
-    for name in ("trunk_conv", "hr_conv", "conv_last"):
-        out[name] = conv_params(sd, f"{p}{name}")
-    for name in ("upconv1", "upconv2"):
+    for name in ("trunk_conv", "upconv1", "upconv2", "hr_conv", "conv_last"):
         cp = conv_params(sd, f"{p}{name}")
         out[f"{name}_kernel"] = cp["kernel"]
         out[f"{name}_bias"] = cp["bias"]

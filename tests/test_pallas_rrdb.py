@@ -1,0 +1,61 @@
+"""Fused RRDB Pallas kernel: interpret-mode parity with the flax module."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from master_thesis_tpu.models.chn import RRDB
+from master_thesis_tpu.ops.pallas_rrdb import rrdb_pallas, rrdb_trunk_pallas
+
+
+def test_rrdb_kernel_matches_flax(rng):
+    nf, gc, h, w, n = 16, 8, 8, 16, 2
+    mod = RRDB(nf=nf, gc=gc)
+    x = jnp.asarray(rng.rand(n, h, w, nf).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(mod.apply(params, x))
+
+    x_chw = x.reshape(n, h * w, nf).transpose(0, 2, 1)
+    got = rrdb_pallas(x_chw, params["params"], nf, gc, w, interpret=True)
+    got = np.asarray(got).transpose(0, 2, 1).reshape(n, h, w, nf)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_rrdb_trunk_chains_blocks(rng):
+    nf, gc, h, w, n = 16, 8, 8, 8, 1
+    mod = RRDB(nf=nf, gc=gc)
+    x = jnp.asarray(rng.rand(n, h, w, nf).astype(np.float32))
+    p1 = mod.init(jax.random.PRNGKey(0), x)["params"]
+    p2 = mod.init(jax.random.PRNGKey(1), x)["params"]
+    want = np.asarray(mod.apply({"params": p2}, mod.apply({"params": p1}, x)))
+    got = rrdb_trunk_pallas(
+        x, {"rrdb_0": p1, "rrdb_1": p2}, nb=2, nf=nf, gc=gc, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
+
+
+def test_chn_infer_apply_matches_module(rng):
+    """The pallas-trunk inference path equals CHN.apply (interpret mode)."""
+    from master_thesis_tpu.models.chn import CHN, chn_infer_apply
+
+    nb, nf, gc, h, w = 2, 16, 8, 16, 16
+    chn = CHN(nb=nb, nf=nf, gc=gc)
+    z = jnp.zeros
+    variables = chn.init(
+        jax.random.PRNGKey(0), z((1, h, w, 3)), z((1, h, w, 1)),
+        z((1, 1, h, w, 3)), z((1, 1, h, w, 1)), z((1, 1, h, w, 1)),
+    )
+    b, f = 2, 2
+    x_t = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    v_t = jnp.asarray((rng.rand(b, h, w, 1) > 0.2).astype(np.float32))
+    x_r = jnp.asarray(rng.rand(b, f, h, w, 3).astype(np.float32))
+    v_r = jnp.asarray((rng.rand(b, f, h, w, 1) > 0.2).astype(np.float32))
+    vm = jnp.asarray((rng.rand(b, f, h, w, 1) > 0.7).astype(np.float32))
+
+    want_hat, want_comp = chn.apply(variables, x_t, v_t, x_r, v_r, vm)
+    got_hat, got_comp = chn_infer_apply(
+        variables, x_t, v_t, x_r, v_r, vm, nb=nb, nf=nf, gc=gc,
+        dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_hat), np.asarray(want_hat), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got_comp), np.asarray(want_comp), atol=5e-5)
