@@ -164,7 +164,8 @@ def run_chn_test(cfg):
     _, _, vgg_apply = build_mod.build_vgg(cfg, cfg.vgg_checkpoint)
     align_fn = build_aligner(cfg, vgg_apply)
     model, params = load_chn_params(cfg.test_checkpoint, cfg)
-    inpainter = Inpainter(model.apply, params, align_fn)
+    chn_apply = build_mod.chn_infer_fn(cfg, model)
+    inpainter = Inpainter(chn_apply, params, align_fn)
 
     for batch in loaders["test"]:
         x, m = batch["x"][0], batch["m"][0]

@@ -132,6 +132,24 @@ def build_lpips(cfg, alexnet_checkpoint=None, lpips_checkpoint=None):
     return lpips_fn
 
 
+def chn_infer_fn(cfg, model) -> Callable:
+    """CHN apply for inference: the fused-Pallas-trunk path on TPU-class
+    backends (models/chn.py:chn_infer_apply), the flax module elsewhere."""
+    import jax
+
+    from master_thesis_tpu.models.chn import chn_infer_apply
+
+    if cfg.use_pallas and jax.default_backend() in ("tpu", "axon"):
+        def apply_fn(params, x_t, v_t, xa, va, vm):
+            return chn_infer_apply(
+                params, x_t, v_t, xa, va, vm,
+                nb=cfg.chn_nb, dtype=_dtype(cfg),
+            )
+
+        return apply_fn
+    return model.apply
+
+
 def build_loaders(cfg, metas, splits=("train", "validation")):
     """Assembles Loader objects per split from the 5-meta tuple."""
     from master_thesis_tpu.data.pipeline import ContentProvider, InpaintingDataset, Loader
