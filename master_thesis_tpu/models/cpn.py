@@ -133,12 +133,15 @@ class CPN(nn.Module):
         theta = self.a_regressor(feat_t_rep, feat_r)  # (B*F, 2, 3)
         grid = affine_grid(theta, (h, w), align_corners=False)
 
-        x_aligned = grid_sample(
-            x_refs_flat, grid, mode="bilinear", align_corners=False
-        ).reshape(b, f, h, w, c)
-        v_aligned = grid_sample(
-            1.0 - m_refs_flat, grid, mode="bilinear", align_corners=False
-        ).reshape(b, f, h, w, 1)
+        # Frames and visibility share the grid and the bilinear mode
+        # (reference model_cpn.py:79-88), so one 4-channel warp covers both
+        # — halves the tent-weight construction of the matmul warp.
+        warped = grid_sample(
+            jnp.concatenate([x_refs_flat, 1.0 - m_refs_flat], axis=-1),
+            grid, mode="bilinear", align_corners=False,
+        )
+        x_aligned = warped[..., :c].reshape(b, f, h, w, c)
+        v_aligned = warped[..., c:].reshape(b, f, h, w, 1)
         v_aligned = (v_aligned > 0.5).astype(x_refs.dtype)
         v_maps = jnp.clip(v_aligned - (1.0 - m_target[:, None]), 0.0, 1.0)
         return x_aligned, v_aligned, v_maps

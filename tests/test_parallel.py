@@ -101,15 +101,20 @@ y = rng.rand(b, f, h, w, 3).astype(np.float32)
 m = (rng.rand(b, f, h, w, 1) > 0.8).astype(np.float32)
 x = (1 - m) * y + m * 0.45
 
-st = state_lib.create_train_state(chn.apply, params, cfg, steps_per_epoch=10)
+# the train step donates its state, so build a fresh state (with copied
+# params) for each of the two runs
+st_a = state_lib.create_train_state(
+    chn.apply, jax.tree.map(jnp.copy, params), cfg, steps_per_epoch=10)
 st1, items1 = chn_task.make_train_step(chn.apply, align, vgg_apply)(
-    st, jnp.asarray(x), jnp.asarray(m), jnp.asarray(y))
+    st_a, jnp.asarray(x), jnp.asarray(m), jnp.asarray(y))
 
 mesh = make_mesh(data=4, model=2)
 step = chn_task.make_train_step(chn.apply, align, vgg_apply,
                                 ref_sharding=NamedSharding(mesh, P("data", "model")))
 dp = batch_sharding(mesh)
-st2, items2 = step(st, jax.device_put(x, dp), jax.device_put(m, dp), jax.device_put(y, dp))
+st_b = state_lib.create_train_state(
+    chn.apply, jax.tree.map(jnp.copy, params), cfg, steps_per_epoch=10)
+st2, items2 = step(st_b, jax.device_put(x, dp), jax.device_put(m, dp), jax.device_put(y, dp))
 np.testing.assert_allclose(float(items1["loss"]), float(items2["loss"]), rtol=1e-5)
 for a, b_ in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)

@@ -46,7 +46,11 @@ def _batch(rng, b=2, f=3, h=32, w=32):
 
 def test_chn_train_step_decreases_loss(rng, tiny_setup):
     cfg, chn, chn_params, vgg_apply, align = tiny_setup
-    st = state_lib.create_train_state(chn.apply, chn_params, cfg, steps_per_epoch=10)
+    # The train step donates the state's buffers; never hand it the shared
+    # fixture params directly.
+    st = state_lib.create_train_state(
+        chn.apply, jax.tree.map(jnp.copy, chn_params), cfg, steps_per_epoch=10
+    )
     step = chn_task.make_train_step(chn.apply, align, vgg_apply)
     x, m, y = _batch(rng)
     losses = []
@@ -79,7 +83,9 @@ def test_step_lr_schedule():
 def test_grads_do_not_touch_aligner(rng, tiny_setup):
     """The aligner is frozen: training must not change its closure output."""
     cfg, chn, chn_params, vgg_apply, align = tiny_setup
-    st = state_lib.create_train_state(chn.apply, chn_params, cfg, steps_per_epoch=10)
+    st = state_lib.create_train_state(
+        chn.apply, jax.tree.map(jnp.copy, chn_params), cfg, steps_per_epoch=10
+    )
     step = chn_task.make_train_step(chn.apply, align, vgg_apply)
     x, m, y = _batch(rng)
     before = jax.tree.map(lambda a: a.copy(), st.params)
