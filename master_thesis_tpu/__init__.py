@@ -25,6 +25,10 @@ __all__ = [
     "movements",
     "transforms",
     "grid_sample",
+    # models / data / infer are importable as subpackages:
+    #   from master_thesis_tpu.models import CHN, CPN, DFPN, VGGFeatures
+    #   from master_thesis_tpu.data import prepare_data, Loader
+    #   from master_thesis_tpu.infer import Inpainter
 ]
 
 __version__ = "0.1.0"
