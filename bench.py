@@ -57,14 +57,17 @@ def main():
     x_r = jnp.asarray(rng.rand(b, f, h, w, 3), jnp.float32)
     m_r = jnp.asarray(rng.rand(b, f, h, w, 1) > 0.9, jnp.float32)
 
-    # Warmup (compile) + steady-state timing.
-    out = jax.block_until_ready(inpaint_step(cpn_params, chn_params, x_t, m_t, x_r, m_r))
-    assert np.isfinite(np.asarray(out[:1, :1, :8, :8])).all()
+    # Warmup (compile) + steady-state timing. jax.block_until_ready does
+    # NOT wait for completion through the axon relay (CLAUDE.md), so every
+    # iteration is synchronized by fetching a scalar to the host — the
+    # device stream is in-order, so the fetch bounds the whole step.
+    out = inpaint_step(cpn_params, chn_params, x_t, m_t, x_r, m_r)
+    assert np.isfinite(np.asarray(out[:1, :1, :8, :8], dtype=np.float32)).all()
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = inpaint_step(cpn_params, chn_params, x_t, m_t, x_r, m_r)
-    jax.block_until_ready(out)
+        float(out[0, 0, 0, 0])  # per-iteration host sync
     dt = (time.perf_counter() - t0) / iters
 
     frames_per_sec = b / dt  # targets inpainted per second on one chip

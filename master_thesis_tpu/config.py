@@ -49,11 +49,19 @@ class Config:
     lr_scheduler_step_size: int = 50
     lr_scheduler_gamma: float = 0.5
 
-    # --- trainer (subset of pl.Trainer flags the reference README uses) ---
+    # --- trainer (pl.Trainer flags reachable through the reference CLI,
+    # reference __main__.py:69; Lightning semantics preserved) ---
     max_epochs: int = 100
     default_root_dir: str = "./lightning_logs"
     seed: int = 0
     resume_from_checkpoint: Optional[str] = None
+    accumulate_grad_batches: int = 1  # micro-batches per optimizer update
+    gradient_clip_val: float = 0.0  # global-norm clip; 0 disables (pl default)
+    # float <= 1: fraction of the train epoch between validations;
+    # int > 1: validate every N train steps (pl.Trainer semantics).
+    val_check_interval: float = 1.0
+    # float <= 1: fraction of the validation epoch; int > 1: batch count.
+    limit_val_batches: float = 1.0
 
     # --- pretrained weight sources (torch state dicts, converted on load;
     # the reference streams VGG from the torchvision hub, model_vgg.py:62) ---

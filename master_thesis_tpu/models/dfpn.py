@@ -127,12 +127,15 @@ class AlignmentCorrelationMixer(nn.Module):
         x = corr.reshape(b * f, cs * cs, cs, cs).transpose(0, 2, 3, 1)
         x = x.astype(self.dtype)
 
+        # Final three stages output the 2 flow components (== cs // 8 at the
+        # reference's fixed cs=16, model_dfpn.py:638-660; written as a
+        # literal 2 so scaled-down test configs keep a valid flow head).
         schedule = [
             (cs**2, 5, True), (cs**2, 3, True), (cs, 3, True),
             (cs, 5, True), (cs, 3, True), (cs // 2, 3, True),
             (cs // 2, 5, True), (cs // 2, 3, True), (cs // 4, 3, True),
-            (cs // 4, 5, True), (cs // 4, 3, True), (cs // 8, 3, False),
-            (cs // 8, 5, False), (cs // 8, 3, False),
+            (cs // 4, 5, True), (cs // 4, 3, True), (2, 3, False),
+            (2, 5, False), (2, 3, False),
         ]
         for i, (feats, k, relu) in enumerate(schedule):
             x = Conv(
@@ -207,10 +210,16 @@ class DFPN(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     use_softmax: bool = False  # reference CorrelationVGG flag (model_dfpn.py:485)
+    # Working resolution of the cascade (the reference fixes 256,
+    # model_dfpn.py:74-81). Scaled-down values (e.g. 64) keep the same graph
+    # shape for cheap multi-device tests; production keeps 256.
+    base_size: int = 256
 
     def setup(self):
         self.corr_conv = SeparableConv4d(dtype=self.dtype, name="separable4d")
-        self.corr_mixer = AlignmentCorrelationMixer(dtype=self.dtype, name="mixer")
+        self.corr_mixer = AlignmentCorrelationMixer(
+            corr_size=self.base_size // 16, dtype=self.dtype, name="mixer"
+        )
         self.flow_64 = FlowEstimator(dtype=self.dtype, name="flow_64")
         self.flow_256 = FlowEstimator(dtype=self.dtype, name="flow_256")
 
@@ -236,11 +245,12 @@ class DFPN(nn.Module):
         x_target = (x_target - mean) / std
         x_refs = (x_refs - mean) / std
 
+        s256, s64 = self.base_size, self.base_size // 4
         x_t_256, m_t_256, x_r_256, m_r_256 = transforms.resize_set_bis(
-            x_target, m_target, x_refs, m_refs, (256, 256)
+            x_target, m_target, x_refs, m_refs, (s256, s256)
         )
         x_t_64, m_t_64, x_r_64, m_r_64 = transforms.resize_set_bis(
-            x_target, m_target, x_refs, m_refs, (64, 64)
+            x_target, m_target, x_refs, m_refs, (s64, s64)
         )
 
         fh, fw = vgg_feats_target.shape[1:3]
@@ -260,9 +270,9 @@ class DFPN(nn.Module):
             corr = softmax_3d(corr)
 
         flow_16 = self.corr_mixer(corr)
-        flow_64_pre = flows_ops.resize_flow(flow_16, (64, 64), mode="bilinear")
+        flow_64_pre = flows_ops.resize_flow(flow_16, (s64, s64), mode="bilinear")
         flow_64 = self.flow_64(x_t_64, m_t_64, x_r_64, m_r_64, flow_64_pre)
-        flow_256_pre = flows_ops.resize_flow(flow_64, (256, 256), mode="bilinear")
+        flow_256_pre = flows_ops.resize_flow(flow_64, (s256, s256), mode="bilinear")
         flow_256 = self.flow_256(x_t_256, m_t_256, x_r_256, m_r_256, flow_256_pre)
 
         return corr, flow_16, flow_64, flows_ops.resize_flow(
@@ -270,17 +280,18 @@ class DFPN(nn.Module):
         )
 
 
-def prepare_vgg_input(x: jnp.ndarray) -> jnp.ndarray:
-    """ImageNet-normalize + resize to 256² for VGG feature extraction.
+def prepare_vgg_input(x: jnp.ndarray, size: int = 256) -> jnp.ndarray:
+    """ImageNet-normalize + resize to ``size``² for VGG feature extraction.
 
     Mirrors DFPN's internal preprocessing (model_dfpn.py:71-77): frames are
-    normalized first, then bilinearly resized.
+    normalized first, then bilinearly resized. ``size`` must match the
+    model's ``base_size`` (256 in production).
     """
     mean = jnp.asarray(IMAGENET_MEAN, dtype=x.dtype)
     std = jnp.asarray(IMAGENET_STD, dtype=x.dtype)
     x = (x - mean) / std
-    if x.shape[-3] != 256 or x.shape[-2] != 256:
-        x = transforms.interp.resize_hw(x, (256, 256), mode="bilinear")
+    if x.shape[-3] != size or x.shape[-2] != size:
+        x = transforms.interp.resize_hw(x, (size, size), mode="bilinear")
     return x
 
 

@@ -55,19 +55,29 @@ def forward_and_loss(
     y: jnp.ndarray,
     flow_gt: jnp.ndarray,
     flows_use: jnp.ndarray,
+    base_size: int = 256,
+    constrain: Callable = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Runs DFPN on a ``(B, F, H, W, C)`` batch and computes the 6-part loss."""
+    """Runs DFPN on a ``(B, F, H, W, C)`` batch and computes the 6-part loss.
+
+    ``base_size`` must match the model's cascade resolution (256 in
+    production; scaled down only for cheap multi-device tests).
+    ``constrain`` optionally applies a sharding constraint to the sliced
+    reference stacks (sequence parallelism over the frame axis).
+    """
     b, f, h, w, _ = x.shape
     t, r_list = target_ref_indexes(f)
     x_t, m_t = x[:, t], m[:, t]
     x_r, m_r = x[:, r_list], m[:, r_list]
+    if constrain is not None:
+        x_r, m_r = constrain(x_r), constrain(m_r)
     fr = len(r_list)
 
     # Frozen VGG features for the correlation volume (reference
     # model_dfpn.py:510-518 computes them under no_grad).
-    feats_t = _vgg_pool4(vgg_apply, prepare_vgg_input(x_t))
+    feats_t = _vgg_pool4(vgg_apply, prepare_vgg_input(x_t, size=base_size))
     feats_r = _vgg_pool4(
-        vgg_apply, prepare_vgg_input(x_r.reshape(b * fr, h, w, 3))
+        vgg_apply, prepare_vgg_input(x_r.reshape(b * fr, h, w, 3), size=base_size)
     )
     feats_r = feats_r.reshape(b, fr, *feats_r.shape[1:])
     feats_t = jax.lax.stop_gradient(feats_t)
@@ -78,12 +88,13 @@ def forward_and_loss(
     )
 
     # Multi-resolution pyramids (reference model_dfpn.py:350-356).
-    x_16, v_16, y_16 = transforms.resize_set(x, 1 - m, y, 16)
-    x_64, v_64, y_64 = transforms.resize_set(x, 1 - m, y, 64)
+    s16, s64 = base_size // 16, base_size // 4
+    x_16, v_16, y_16 = transforms.resize_set(x, 1 - m, y, s16)
+    x_64, v_64, y_64 = transforms.resize_set(x, 1 - m, y, s64)
     x_256, v_256, y_256 = x, 1 - m, y
 
-    flow_16_gt = flows_ops.resize_flow(flow_gt[:, r_list], (16, 16))
-    flow_64_gt = flows_ops.resize_flow(flow_gt[:, r_list], (64, 64))
+    flow_16_gt = flows_ops.resize_flow(flow_gt[:, r_list], (s16, s16))
+    flow_64_gt = flows_ops.resize_flow(flow_gt[:, r_list], (s64, s64))
     flow_256_gt = flow_gt[:, r_list]
 
     x_16_al, _ = flows_ops.align_set(x_16[:, r_list], v_16[:, r_list], flow_16)
@@ -91,10 +102,12 @@ def forward_and_loss(
     x_256_al, _ = flows_ops.align_set(x_256[:, r_list], v_256[:, r_list], flow_256)
 
     # GT correlation from clean frames (reference model_dfpn.py:242-257).
-    if h == 256 and w == 256:
+    if h == base_size and w == base_size:
         y_vgg_in = y.reshape(b * f, h, w, 3)
     else:
-        y_vgg_in = interp.resize_hw(y.reshape(b * f, h, w, 3), (256, 256), mode="bilinear")
+        y_vgg_in = interp.resize_hw(
+            y.reshape(b * f, h, w, 3), (base_size, base_size), mode="bilinear"
+        )
     y_feats = jax.lax.stop_gradient(vgg_apply(y_vgg_in))[3]
     y_feats = y_feats.reshape(b, f, *y_feats.shape[1:])
     corr_y = correlation_masked_4d(y_feats[:, t], None, y_feats[:, r_list], None)
@@ -170,12 +183,27 @@ def log_alignment_frames(
         logger.log_images(f"frames/{i + 1}", np.clip(strip, 0, 1), step)
 
 
-def make_train_step(dfpn_apply: Callable, vgg_apply: Callable):
+def _make_constrain(ref_sharding):
+    if ref_sharding is None:
+        return None
+    return lambda t: jax.lax.with_sharding_constraint(t, ref_sharding)
+
+
+def make_train_step(
+    dfpn_apply: Callable, vgg_apply: Callable,
+    base_size: int = 256, ref_sharding=None,
+):
+    """``ref_sharding``: optional NamedSharding for the (B, F-1, ...)
+    reference stacks — sequence parallelism over the frame axis, same
+    contract as chn_task.make_train_step."""
+    constrain = _make_constrain(ref_sharding)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, x, m, y, flow_gt, flows_use):
         def loss_fn(params):
             return forward_and_loss(
-                dfpn_apply, params, vgg_apply, x, m, y, flow_gt, flows_use
+                dfpn_apply, params, vgg_apply, x, m, y, flow_gt, flows_use,
+                base_size=base_size, constrain=constrain,
             )
 
         (total, items), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -186,11 +214,17 @@ def make_train_step(dfpn_apply: Callable, vgg_apply: Callable):
     return train_step
 
 
-def make_eval_step(dfpn_apply: Callable, vgg_apply: Callable):
+def make_eval_step(
+    dfpn_apply: Callable, vgg_apply: Callable,
+    base_size: int = 256, ref_sharding=None,
+):
+    constrain = _make_constrain(ref_sharding)
+
     @jax.jit
     def eval_step(params, x, m, y, flow_gt, flows_use):
         total, items = forward_and_loss(
-            dfpn_apply, params, vgg_apply, x, m, y, flow_gt, flows_use
+            dfpn_apply, params, vgg_apply, x, m, y, flow_gt, flows_use,
+            base_size=base_size, constrain=constrain,
         )
         items["loss"] = total
         return items

@@ -124,6 +124,86 @@ print("DP-SP-STEP-OK")
     assert "DP-SP-STEP-OK" in out
 
 
+def test_dfpn_train_step_dp_sp_matches_unsharded():
+    """DFPN is the sharding-hostile graph (4D correlation + 3 warps +
+    transposed convs): the DP+SP step must match the unsharded step."""
+    out = _run_clean(
+        """
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from master_thesis_tpu.config import Config
+from master_thesis_tpu.models.dfpn import DFPN
+from master_thesis_tpu.models.vgg import VGGFeatures
+from master_thesis_tpu.ops import flows as flows_ops
+from master_thesis_tpu.parallel import batch_sharding, make_mesh
+from master_thesis_tpu.train import dfpn_task, state as state_lib
+
+rng = np.random.RandomState(0)
+cfg = Config(lr=1e-3)
+base, h, w = 64, 32, 32
+b, f = 8, 3
+feat = base // 16
+dfpn = DFPN(base_size=base)
+z = jnp.zeros
+params = dfpn.init(jax.random.PRNGKey(0), z((1, h, w, 3)), z((1, h, w, 1)),
+                   z((1, 1, h, w, 3)), z((1, 1, h, w, 1)),
+                   z((1, feat, feat, 512)), z((1, 1, feat, feat, 512)))
+vgg = VGGFeatures()
+vgg_params = vgg.init(jax.random.PRNGKey(1), z((1, h, w, 3)))
+vgg_apply = lambda x, normalize_input=True: vgg.apply(vgg_params, x, normalize_input=normalize_input)
+
+y = rng.rand(b, f, h, w, 3).astype(np.float32)
+m = (rng.rand(b, f, h, w, 1) > 0.9).astype(np.float32)
+x = (1 - m) * y + m * 0.45
+grid = np.asarray(flows_ops.identity_grid(h, w))
+flow_gt = np.broadcast_to(grid, (b, f, h, w, 2)).astype(np.float32)
+flows_use = np.ones((b,), np.float32)
+
+# 1) the real train step compiles + executes sharded and reproduces the
+#    unsharded loss exactly (up to f32 reduction order)
+st_a = state_lib.create_train_state(
+    dfpn.apply, jax.tree.map(jnp.copy, params), cfg, steps_per_epoch=10)
+st1, items1 = dfpn_task.make_train_step(dfpn.apply, vgg_apply, base_size=base)(
+    st_a, jnp.asarray(x), jnp.asarray(m), jnp.asarray(y),
+    jnp.asarray(flow_gt), jnp.asarray(flows_use))
+
+mesh = make_mesh(data=4, model=2)
+step = dfpn_task.make_train_step(
+    dfpn.apply, vgg_apply, base_size=base,
+    ref_sharding=NamedSharding(mesh, P("data", "model")))
+dp = batch_sharding(mesh)
+st_b = state_lib.create_train_state(
+    dfpn.apply, jax.tree.map(jnp.copy, params), cfg, steps_per_epoch=10)
+st2, items2 = step(st_b, jax.device_put(x, dp), jax.device_put(m, dp),
+                   jax.device_put(y, dp), jax.device_put(flow_gt, dp),
+                   jax.device_put(flows_use, dp))
+np.testing.assert_allclose(float(items1["loss"]), float(items2["loss"]), rtol=1e-4)
+
+# 2) gradients match elementwise between the two partitionings. (Comparing
+# post-Adam params would compare sign(grad) — one bias-corrected Adam step
+# is ~lr*sign(g) — so noise-dominated elements would flip spuriously.)
+constrain = lambda t: jax.lax.with_sharding_constraint(
+    t, NamedSharding(mesh, P("data", "model")))
+
+def loss_of(p, x_, m_, y_, fg, fu, con):
+    return dfpn_task.forward_and_loss(
+        dfpn.apply, p, vgg_apply, x_, m_, y_, fg, fu,
+        base_size=base, constrain=con)[0]
+
+g1 = jax.jit(jax.grad(lambda p, *a: loss_of(p, *a, None)))(
+    params, jnp.asarray(x), jnp.asarray(m), jnp.asarray(y),
+    jnp.asarray(flow_gt), jnp.asarray(flows_use))
+g2 = jax.jit(jax.grad(lambda p, *a: loss_of(p, *a, constrain)))(
+    params, jax.device_put(x, dp), jax.device_put(m, dp), jax.device_put(y, dp),
+    jax.device_put(flow_gt, dp), jax.device_put(flows_use, dp))
+for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-3)
+print("DFPN-DP-SP-STEP-OK")
+"""
+    )
+    assert "DFPN-DP-SP-STEP-OK" in out
+
+
 def test_graft_dryrun_multichip():
     """The driver's multi-chip dry run compiles and executes on 8 virtual
     CPU devices with DP+SP+TP shardings."""
