@@ -67,23 +67,44 @@ def build_aligner(cfg, vgg_apply):
     return build_mod.dfpn_align_fn(cfg, model, params, vgg_apply)
 
 
+def _resume_split(cfg):
+    """Splits --resume_from_checkpoint into (torch_params_path, orbax_path):
+    a torch file restores params only (Adam state has no torch converter);
+    an orbax dir restores the FULL TrainState — params, optimizer moments
+    and the LR-schedule step (Lightning-resume semantics, reference
+    __main__.py:33-42)."""
+    path = cfg.resume_from_checkpoint
+    if not path:
+        return None, None
+    if _is_torch_ckpt(path):
+        return path, None
+    return None, path
+
+
 def run_dfpn_train(cfg):
     from master_thesis_tpu.data import meta as meta_mod
     from master_thesis_tpu.train import build as build_mod, dfpn_task, state as state_lib
+    from master_thesis_tpu.train.checkpoint import restore_train_state
     from master_thesis_tpu.train.loop import Trainer
 
     metas = meta_mod.prepare_data(cfg)
     loaders = build_mod.build_loaders(cfg, metas)
     _, _, vgg_apply = build_mod.build_vgg(cfg, cfg.vgg_checkpoint)
-    model, params = load_dfpn_params(cfg.resume_from_checkpoint, cfg, vgg_apply)
+    torch_resume, orbax_resume = _resume_split(cfg)
+    model, params = load_dfpn_params(torch_resume, cfg, vgg_apply)
 
     state = state_lib.create_train_state(
         model.apply, params, cfg, steps_per_epoch=cfg.train_max_iterations
     )
-    train_step = dfpn_task.make_train_step(model.apply, vgg_apply)
+    if orbax_resume:
+        state = restore_train_state(state, orbax_resume)
+    trainer = Trainer(cfg, "dfpn")
+    train_step = dfpn_task.make_train_step(
+        model.apply, vgg_apply,
+        ref_sharding=trainer.ref_sharding, donate=cfg.donate_buffers,
+    )
     eval_step = dfpn_task.make_eval_step(model.apply, vgg_apply)
     args = lambda b: (b["x"], b["m"], b["y"], b["flow_gt"], b["flows_use"])
-    trainer = Trainer(cfg, "dfpn")
     trainer.fit(
         state, train_step, args, loaders["train"],
         eval_step=eval_step, eval_args=args, val_loader=loaders["validation"],
@@ -133,20 +154,28 @@ def run_chn_train(cfg):
     from master_thesis_tpu.train import build as build_mod, chn_task, state as state_lib
     from master_thesis_tpu.train.loop import Trainer
 
+    from master_thesis_tpu.train.checkpoint import restore_train_state
+
     metas = meta_mod.prepare_data(cfg)
     loaders = build_mod.build_loaders(cfg, metas)
     _, _, vgg_apply = build_mod.build_vgg(cfg, cfg.vgg_checkpoint)
     align_fn = build_aligner(cfg, vgg_apply)
-    model, params = load_chn_params(cfg.resume_from_checkpoint, cfg)
+    torch_resume, orbax_resume = _resume_split(cfg)
+    model, params = load_chn_params(torch_resume, cfg)
 
     state = state_lib.create_train_state(
         model.apply, params, cfg, steps_per_epoch=cfg.train_max_iterations
     )
+    if orbax_resume:
+        state = restore_train_state(state, orbax_resume)
+    trainer = Trainer(cfg, "chn")
     lpips_fn = build_mod.build_lpips(cfg, lpips_checkpoint=cfg.lpips_checkpoint)
-    train_step = chn_task.make_train_step(model.apply, align_fn, vgg_apply)
+    train_step = chn_task.make_train_step(
+        model.apply, align_fn, vgg_apply,
+        ref_sharding=trainer.ref_sharding, donate=cfg.donate_buffers,
+    )
     eval_step = chn_task.make_eval_step(model.apply, align_fn, vgg_apply, lpips_fn=lpips_fn)
     args = lambda b: (b["x"], b["m"], b["y"])
-    trainer = Trainer(cfg, "chn")
     trainer.fit(
         state, train_step, args, loaders["train"],
         eval_step=eval_step, eval_args=args, val_loader=loaders["validation"],
@@ -154,9 +183,13 @@ def run_chn_train(cfg):
 
 
 def run_chn_test(cfg):
+    import jax
+    import jax.numpy as jnp
+
     from master_thesis_tpu.data import meta as meta_mod
     from master_thesis_tpu.infer.algorithms import Inpainter
     from master_thesis_tpu.infer.video import write_video
+    from master_thesis_tpu.ops import measures
     from master_thesis_tpu.train import build as build_mod
 
     metas = meta_mod.prepare_data(cfg)
@@ -166,14 +199,34 @@ def run_chn_test(cfg):
     model, params = load_chn_params(cfg.test_checkpoint, cfg)
     chn_apply = build_mod.chn_infer_fn(cfg, model)
     inpainter = Inpainter(chn_apply, params, align_fn)
+    lpips_fn = build_mod.build_lpips(cfg, lpips_checkpoint=cfg.lpips_checkpoint)
 
+    # Quality metrics of the inpainted sequence vs the decoded frames, as the
+    # reference logs on evaluation (model_chn.py:408-422; BASELINE.md:33-36).
+    @jax.jit
+    def _quality(y_hat, y):
+        out = {
+            "psnr": measures.psnr(y_hat, y),
+            "ssim": measures.ssim(y_hat, y),
+        }
+        if lpips_fn is not None:
+            out["lpips"] = lpips_fn(y_hat, y)
+        return out
+
+    agg = {}
     for batch in loaders["test"]:
-        x, m = batch["x"][0], batch["m"][0]
+        x, m, y = batch["x"][0], batch["m"][0], batch["y"][0]
         name = batch["names"][0]
         for algo in ("ff", "ip", "cp"):
             y_hat = getattr(inpainter, f"inpaint_{algo}")(x, m)
+            q = {k: float(v) for k, v in _quality(
+                jnp.asarray(y_hat), jnp.asarray(y)).items()}
+            for k, v in q.items():
+                agg.setdefault(f"{algo}/{k}", []).append(v)
             path = write_video(y_hat, f"{name}_{algo}")
-            print(f"wrote {path}")
+            print(f"wrote {path} " + " ".join(f"{k}={v:.4f}" for k, v in q.items()))
+    for k, v in sorted(agg.items()):
+        print(f"test/{k}: {np.mean(v):.5f}")
 
 
 def main(argv=None):

@@ -13,6 +13,19 @@ import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
 
+def str2bool(v) -> bool:
+    """Real boolean flag parsing. The reference declares its boolean flags
+    as ``type=bool`` (data.py:336), under which ``--image_resize False``
+    silently parses as True; here true/false/1/0/yes/no all work."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
 @dataclasses.dataclass
 class Config:
     # --- run mode (reference __main__.py:63-67) ---
@@ -102,14 +115,15 @@ class Config:
 
         parser.add_argument("--data_path", default="./data")
         parser.add_argument("--data_ckpt_path", default="./lightning_logs/data.ckpt")
-        parser.add_argument("--image_resize", type=bool, default=True)
+        boolean = dict(type=str2bool, nargs="?", const=True)
+        parser.add_argument("--image_resize", default=True, **boolean)
         parser.add_argument("--min_mask_size", type=float, default=0.05)
         parser.add_argument("--max_mask_size", type=float, default=0.15)
         parser.add_argument("--train_size", type=int, nargs="+", default=[256, 256])
         parser.add_argument("--test_size", type=int, nargs="+", default=[240, 480])
         parser.add_argument("--frames_n", type=int, default=2)
         parser.add_argument("--frames_spacing", type=int, default=10)
-        parser.add_argument("--frames_randomize", type=bool, default=True)
+        parser.add_argument("--frames_randomize", default=True, **boolean)
         parser.add_argument(
             "--dilatation_filter_size", type=int, nargs="+", default=[3, 3]
         )
@@ -136,16 +150,21 @@ class Config:
         parser.add_argument("--default_root_dir", default="./lightning_logs")
         parser.add_argument("--seed", type=int, default=0)
         parser.add_argument("--resume_from_checkpoint")
+        parser.add_argument("--accumulate_grad_batches", type=int, default=1)
+        parser.add_argument("--gradient_clip_val", type=float, default=0.0)
+        parser.add_argument("--val_check_interval", type=float, default=1.0)
+        parser.add_argument("--limit_val_batches", type=float, default=1.0)
 
         parser.add_argument("--chn_nb", type=int, default=20)
-        parser.add_argument("--chn_remat", type=bool, default=False)
+        parser.add_argument("--chn_remat", default=False, **boolean)
         parser.add_argument("--vgg_checkpoint")
         parser.add_argument("--lpips_checkpoint")
         parser.add_argument("--compute_dtype", default="bfloat16")
         parser.add_argument("--param_dtype", default="float32")
         parser.add_argument("--mesh_data", type=int, default=-1)
         parser.add_argument("--mesh_model", type=int, default=1)
-        parser.add_argument("--use_pallas", type=bool, default=True)
+        parser.add_argument("--donate_buffers", default=True, **boolean)
+        parser.add_argument("--use_pallas", default=True, **boolean)
         parser.add_argument("--profile_dir")
         return parser
 

@@ -62,10 +62,34 @@ class Checkpointer:
         return self.mngr.latest_step()
 
 
+def restore_train_state(state, path: str):
+    """Full training resume: params + optimizer state + step restored into
+    an existing TrainState (Lightning-resume semantics — the reference's
+    ``resume_from_checkpoint`` restores Adam moments and the LR-schedule
+    position too, reference __main__.py:33-42). The fresh state supplies
+    the pytree template, so the checkpoint must come from the same model
+    and optimizer configuration."""
+    import jax.numpy as jnp
+
+    template = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": np.asarray(int(state.step)),
+    }
+    restored = restore_from_path(path, template=template)
+    return state.replace(
+        params=jax.tree.map(jnp.asarray, restored["params"]),
+        opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
+        step=jnp.asarray(restored["step"], jnp.int32),
+    )
+
+
 def restore_from_path(path: str, template: Any = None) -> Any:
     """Restores a single orbax checkpoint directory (a ``step_k`` path or a
     ``checkpoints`` root, in which case the latest step is used)."""
     path = os.path.abspath(path)
+    if os.path.isdir(os.path.join(path, "checkpoints")):
+        path = os.path.join(path, "checkpoints")  # a version_N dir
     if os.path.isdir(path) and any(
         p.isdigit() for p in os.listdir(path) if not p.startswith(".")
     ):

@@ -77,6 +77,7 @@ def make_train_step(
     align_fn: Callable,
     vgg_apply: Callable,
     ref_sharding=None,
+    donate: bool = True,
 ):
     """Builds the jitted CHN train step.
 
@@ -87,6 +88,10 @@ def make_train_step(
     reference tensors — sequence parallelism over the frame axis (the
     workload's natural sequence axis, SURVEY §5.7). The target frame count
     is odd so the full stack can't shard evenly; the refs stack can.
+
+    ``donate``: donate the train-state buffers to the update (halves HBM
+    held across the step); Config.donate_buffers turns it off for callers
+    that must keep the pre-step state alive.
     """
 
     def _constrain(t):
@@ -94,7 +99,7 @@ def make_train_step(
             return t
         return jax.lax.with_sharding_constraint(t, ref_sharding)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state, x, m, y):
         frames_n = x.shape[1]
         t, r_list = target_ref_indexes(frames_n)

@@ -191,14 +191,14 @@ def _make_constrain(ref_sharding):
 
 def make_train_step(
     dfpn_apply: Callable, vgg_apply: Callable,
-    base_size: int = 256, ref_sharding=None,
+    base_size: int = 256, ref_sharding=None, donate: bool = True,
 ):
     """``ref_sharding``: optional NamedSharding for the (B, F-1, ...)
     reference stacks — sequence parallelism over the frame axis, same
-    contract as chn_task.make_train_step."""
+    contract as chn_task.make_train_step. ``donate`` as in chn_task."""
     constrain = _make_constrain(ref_sharding)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state, x, m, y, flow_gt, flows_use):
         def loss_fn(params):
             return forward_and_loss(

@@ -47,12 +47,26 @@ def step_lr_schedule(
 
 
 def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
+    """Adam + StepLR, with the pl.Trainer behaviors the reference exposes
+    through its CLI (reference __main__.py:69): global-norm gradient
+    clipping (``gradient_clip_val``) and gradient accumulation
+    (``accumulate_grad_batches``). With accumulation the schedule counts
+    *optimizer* updates, so steps_per_epoch shrinks by k — the LR decays on
+    the same epoch boundaries either way."""
+    k = max(1, int(getattr(cfg, "accumulate_grad_batches", 1)))
     schedule = step_lr_schedule(
-        cfg.lr, cfg.lr_scheduler_step_size, cfg.lr_scheduler_gamma, steps_per_epoch
+        cfg.lr, cfg.lr_scheduler_step_size, cfg.lr_scheduler_gamma,
+        max(1, steps_per_epoch // k),
     )
     # torch.optim.Adam defaults (betas 0.9/0.999, eps 1e-8), as the
     # reference uses (model_dfpn.py:302).
-    return optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
+    adam = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
+    clip = float(getattr(cfg, "gradient_clip_val", 0.0) or 0.0)
+    tx = optax.chain(optax.clip_by_global_norm(clip), adam) if clip > 0 else adam
+    if k > 1:
+        # Lightning semantics: clip the *accumulated* gradient, then step.
+        tx = optax.MultiSteps(tx, every_k_schedule=k)
+    return tx
 
 
 def create_train_state(apply_fn, params, cfg, steps_per_epoch: int) -> TrainState:

@@ -72,6 +72,62 @@ def test_chn_eval_step_metrics(rng, tiny_setup):
     assert y_hat_comp.shape == (2, 2, 32, 32, 3)
 
 
+def test_accumulate_grad_batches_matches_mean_grad_step():
+    """k micro-batches accumulate to one optimizer update on the mean
+    gradient (Lightning accumulate_grad_batches semantics)."""
+    w0 = jnp.asarray([1.0, -2.0, 0.5, 3.0])
+    st_acc = state_lib.create_train_state(
+        None, {"w": w0}, Config(lr=1e-2, accumulate_grad_batches=2), steps_per_epoch=10
+    )
+    st_one = state_lib.create_train_state(
+        None, {"w": w0}, Config(lr=1e-2), steps_per_epoch=5
+    )
+    g1 = {"w": jnp.asarray([1.0, 2.0, -3.0, 4.0])}
+    g2 = {"w": jnp.asarray([3.0, -2.0, 1.0, 0.0])}
+
+    st_acc = st_acc.apply_gradients(g1)
+    np.testing.assert_array_equal(np.asarray(st_acc.params["w"]), np.asarray(w0))
+    st_acc = st_acc.apply_gradients(g2)
+
+    g_mean = {"w": (g1["w"] + g2["w"]) / 2}
+    st_one = st_one.apply_gradients(g_mean)
+    np.testing.assert_allclose(
+        np.asarray(st_acc.params["w"]), np.asarray(st_one.params["w"]), atol=1e-7
+    )
+
+
+def test_gradient_clip_val_wires_global_norm_clip():
+    """cfg.gradient_clip_val reaches the optimizer chain: two-step
+    trajectories with and without clipping diverge, and the clipped one
+    matches a hand-built optax chain."""
+    import optax
+
+    w0 = jnp.asarray([1.0, -2.0, 0.5, 3.0])
+    cfg = Config(lr=1e-2, gradient_clip_val=1.0)
+    st_clip = state_lib.create_train_state(None, {"w": w0}, cfg, steps_per_epoch=10)
+    st_raw = state_lib.create_train_state(
+        None, {"w": w0}, Config(lr=1e-2), steps_per_epoch=10
+    )
+    sched = state_lib.step_lr_schedule(1e-2, cfg.lr_scheduler_step_size,
+                                       cfg.lr_scheduler_gamma, 10)
+    tx_ref = optax.chain(optax.clip_by_global_norm(1.0),
+                         optax.adam(sched, b1=0.9, b2=0.999, eps=1e-8))
+    ref_params = {"w": w0}
+    ref_opt = tx_ref.init(ref_params)
+
+    for g in ({"w": jnp.asarray([10.0, 0.0, 0.0, 0.0])},
+              {"w": jnp.asarray([0.1, -0.2, 0.3, -0.4])}):
+        st_clip = st_clip.apply_gradients(g)
+        st_raw = st_raw.apply_gradients(g)
+        updates, ref_opt = tx_ref.update(g, ref_opt, ref_params)
+        ref_params = optax.apply_updates(ref_params, updates)
+
+    assert not np.allclose(np.asarray(st_clip.params["w"]), np.asarray(st_raw.params["w"]))
+    np.testing.assert_allclose(
+        np.asarray(st_clip.params["w"]), np.asarray(ref_params["w"]), atol=1e-7
+    )
+
+
 def test_step_lr_schedule():
     sched = state_lib.step_lr_schedule(1e-4, step_size_epochs=50, gamma=0.5, steps_per_epoch=100)
     assert sched(0) == pytest.approx(1e-4)
