@@ -58,16 +58,19 @@ def main():
     m_r = jnp.asarray(rng.rand(b, f, h, w, 1) > 0.9, jnp.float32)
 
     # Warmup (compile) + steady-state timing. jax.block_until_ready does
-    # NOT wait for completion through the axon relay (CLAUDE.md), so every
-    # iteration is synchronized by fetching a scalar to the host — the
-    # device stream is in-order, so the fetch bounds the whole step.
+    # NOT wait for completion through the axon relay (CLAUDE.md), so the
+    # timing is bounded by a scalar device->host fetch. The device stream
+    # executes launches in order, so ONE trailing fetch of the final
+    # output synchronizes every iteration; a fetch per iteration would add
+    # the ~33 ms relay round-trip to each step (measured; not model time).
     out = inpaint_step(cpn_params, chn_params, x_t, m_t, x_r, m_r)
+    float(out.ravel()[0])  # sync after compile
     assert np.isfinite(np.asarray(out[:1, :1, :8, :8], dtype=np.float32)).all()
-    iters = 10
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         out = inpaint_step(cpn_params, chn_params, x_t, m_t, x_r, m_r)
-        float(out[0, 0, 0, 0])  # per-iteration host sync
+    float(out.ravel()[0])  # trailing host sync bounds the in-order stream
     dt = (time.perf_counter() - t0) / iters
 
     frames_per_sec = b / dt  # targets inpainted per second on one chip

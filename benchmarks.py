@@ -162,22 +162,36 @@ def config_4():
 
 
 def config_5():
-    """Full-video sweep: all 3 algorithms, frames_n>=9 @512px."""
-    import jax
+    """Full-video sweep: all 3 algorithms, 12 frames @512px.
+
+    Random weights can't produce a meaningful *aligner* — a random affine
+    regressor warps refs arbitrarily, the visibility map never uncovers the
+    hole, and every candidate round runs (worst-case stress, not a
+    throughput number). So this config uses an identity aligner (static
+    camera) with a mask strip moving 12 px/frame: the hole<e early exit
+    then fires from visible-overlap geometry exactly as with trained
+    weights (reference semantics: the ff/ip/cp loops shrink the mask only
+    by the visibility map, model_chn.py:121-131, so exit behavior is
+    alignment-geometry-driven, not weight-driven)."""
+    import jax.numpy as jnp
 
     from master_thesis_tpu.infer.algorithms import Inpainter
-    from master_thesis_tpu.models.cpn import CPN
 
-    cpn, cpn_p, chn, chn_p = _models()
-    align_fn = lambda a, b_, c, d: cpn.apply(cpn_p, a, b_, c, d, method=CPN.align)
+    _, _, chn, chn_p = _models()
+
+    def align_fn(x_t, m_t, x_r, m_r):
+        v_r = 1 - m_r
+        v_map = jnp.clip(v_r - (1 - m_t[:, None]), 0, 1)
+        return x_r, v_r, v_map
+
     inp = Inpainter(chn.apply, chn_p, align_fn)
 
     rng = np.random.RandomState(0)
     F, h, w = 12, 512, 512
-    y = rng.rand(F, h, w, 3).astype(np.float32)
+    y = np.broadcast_to(rng.rand(1, h, w, 3), (F, h, w, 3)).astype(np.float32)
     m = np.zeros((F, h, w, 1), np.float32)
     for t in range(F):
-        m[t, 180 + 4 * t : 300 + 4 * t, 200:330] = 1
+        m[t, 150 + 12 * t : 270 + 12 * t, 200:330] = 1
     x = (1 - m) * y + m * 0.45
 
     for algo in ("ff", "ip", "cp"):

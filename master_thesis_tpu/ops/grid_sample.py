@@ -13,11 +13,11 @@ Semantics match torch exactly (verified in tests/test_grid_sample.py):
 - padding_mode='zeros': out-of-bounds taps contribute zero.
 - ``nearest`` rounds half-to-even (torch uses ``std::nearbyint``).
 
-The jnp implementation is a pair of gathers + lerp on flattened spatial
-indices; under jit XLA emits a single fused gather per corner, which on TPU
-runs on the VPU against VMEM-resident tiles. A fused Pallas kernel for the
-256x256 warp lives in ops/pallas_warp.py and is dispatched automatically for
-shapes it supports.
+Two implementations, selected by backend (``_use_mm_impl``): a gather+lerp
+version for CPU, and a matmul formulation for TPU-class backends that
+expresses the bilinear warp as two small dense matmuls with tent-weight
+matrices (no per-pixel gathers — see ``grid_sample_mm`` below), which XLA
+tiles onto the MXU.
 """
 
 from __future__ import annotations
