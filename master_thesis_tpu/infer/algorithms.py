@@ -2,34 +2,40 @@
 model_chn.py:87-254).
 
 The reference runs three Python loops that call the network once per
-(frame, reference) pair with batch 1. Two of the three algorithms have no
-inter-frame data dependency, so on TPU they are *vectorized over the frame
-axis*: every round, one jitted ``refine`` step processes ALL frames against
-their round-``k`` reference, with per-frame ``active`` masking replacing the
-reference's per-frame while-loop exits. Shapes stay static (XLA-friendly);
-the host only fetches one boolean per round for early termination.
+(frame, reference) pair with batch 1, deciding loop exits from host-side
+hole percentages. This module compiles each algorithm into a SINGLE device
+program: the candidate schedules (which reference frame each target
+consumes in each round) are static given ``(F, s, D, N)``, so they are
+precomputed host-side as index tables and the control flow runs on-device
+with ``lax.scan`` / ``lax.while_loop`` over them — zero host round-trips
+per round (each round-trip through this machine's TPU relay costs ~33 ms,
+more than a whole batched refine).
 
 - ``inpaint_ff`` (frame-by-frame, reference :87-135): independent per
-  frame. Candidate order ±1, ±2, ... (distance-sorted, smaller index first)
-  matches ``get_indexes_ff``; out-of-range candidates are skipped per frame
-  via the active mask, frames stop once their hole < ``e``%.
+  frame, vectorized over the frame axis. Candidate order ±1, ±2, ...
+  (distance-sorted, smaller index first) matches ``get_indexes_ff``;
+  out-of-range candidates are skipped per frame via the active mask, frames
+  stop once their hole < ``e``%, the loop ends when no frame is active.
 - ``inpaint_ip`` (inpaint-and-propagate, reference :137-191): sequential by
-  design (center-out, previously inpainted frames feed later ones) — host
-  loop over frames in reference order, jitted single-frame refine inside.
+  design (center-out, previously inpainted frames feed later ones) —
+  ``lax.scan`` over frames in reference order, ``lax.while_loop`` over each
+  frame's candidate list inside.
 - ``inpaint_cp`` (copy-and-propagate, reference :193-254): N passes over
   alternating frame parities; within a pass, active frames only read
   neighbors outside the updated set, so each (pass, ±s) half-step is one
-  batched refine over all active frames.
+  batched refine over all active frames (``lax.cond``-skipped when the
+  active set is empty, as the reference's ``continue``).
 
 Numerical semantics per refine step are the reference's exactly: shrink the
 mask by the visibility map, refill with the composite + gray fill, stop at
-hole < e% (model_chn.py:121-131).
+hole < e% (model_chn.py:121-131). The pre-compilation host-loop twins
+(``*_host``) remain as the readable reference implementations; equivalence
+is asserted in tests/test_infer.py.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,13 +68,23 @@ class Inpainter:
             (y_hat, y_hat_comp)``.
         chn_params: trained CHN params.
         align_fn: aligner closure over frozen params.
+        device_loops: compile each algorithm's full loop on-device
+            (default); ``False`` runs the host-loop twins.
     """
 
-    def __init__(self, chn_apply: Callable, chn_params, align_fn: Callable):
+    def __init__(
+        self,
+        chn_apply: Callable,
+        chn_params,
+        align_fn: Callable,
+        device_loops: bool = True,
+    ):
         self.chn_apply = chn_apply
         self.chn_params = chn_params
         self.align_fn = align_fn
+        self.device_loops = device_loops
         self._refine = jax.jit(self._refine_impl)
+        self._progs: Dict[Tuple, Callable] = {}
 
     def _refine_impl(self, x_tgt, m_tgt, x_ref, m_ref, active):
         """One masked refinement round over a batch of target frames.
@@ -93,6 +109,12 @@ class Inpainter:
         )
         return x_out, m_out, comp_out, hole_pct
 
+    def _program(self, key: Tuple, build: Callable) -> Callable:
+        prog = self._progs.get(key)
+        if prog is None:
+            prog = self._progs[key] = build()
+        return prog
+
     # ------------------------------------------------------------------ ff
 
     def inpaint_ff(
@@ -102,10 +124,62 @@ class Inpainter:
 
         x: (F, H, W, 3); m: (F, H, W, 1). Returns (F, H, W, 3).
         """
+        if not self.device_loops:
+            return self.inpaint_ff_host(x, m, s, D, e)
+        prog = self._program(
+            ("ff", x.shape, s, D, e), lambda: self._ff_program(x.shape[0], s, D, e)
+        )
+        return np.asarray(prog(jnp.asarray(x), jnp.asarray(m)))
+
+    def _ff_program(self, F: int, s: int, D: int, e: float) -> Callable:
+        offsets: List[int] = []
+        for d in range(s, D + 1, s):
+            offsets += [-d, d]
+        n_rounds = len(offsets)
+        idx = np.arange(F)
+        valid = jnp.asarray(
+            np.stack([(idx + o >= 0) & (idx + o < F) for o in offsets])
+        )  # (R, F)
+        ref_idx = jnp.asarray(
+            np.stack([np.clip(idx + o, 0, F - 1) for o in offsets]).astype(np.int32)
+        )
+
+        @jax.jit
+        def run(x, m):
+            def actives(k, have, hole):
+                return valid[jnp.minimum(k, n_rounds - 1)] & (~have | (hole > e))
+
+            def cond(st):
+                k, _, _, _, have, hole = st
+                return (k < n_rounds) & jnp.any(actives(k, have, hole))
+
+            def body(st):
+                k, x_tgt, m_tgt, y_out, have, hole = st
+                active = actives(k, have, hole)
+                # ff aligns against the *original* frames, not inpainted
+                # ones (reference :115-119 samples x, m — the raw sequence).
+                x_tgt, m_tgt, comp, hole = self._refine_impl(
+                    x_tgt, m_tgt, x[ref_idx[k]], m[ref_idx[k]], active
+                )
+                y_out = jnp.where(active[:, None, None, None], comp, y_out)
+                return (k + 1, x_tgt, m_tgt, y_out, have | active, hole)
+
+            init = (
+                jnp.asarray(0), x, m, x,
+                jnp.zeros((F,), bool), jnp.full((F,), jnp.inf, jnp.float32),
+            )
+            return jax.lax.while_loop(cond, body, init)[3]
+
+        return run
+
+    def inpaint_ff_host(
+        self, x: np.ndarray, m: np.ndarray, s: int = 1, D: int = 20, e: float = 1.0
+    ) -> np.ndarray:
+        """Host-loop twin of ``inpaint_ff`` (one refine call per round)."""
         F = x.shape[0]
-        x_tgt = jnp.asarray(x)
-        m_tgt = jnp.asarray(m)
-        y_out = x_tgt
+        x_dev = jnp.asarray(x)
+        m_dev = jnp.asarray(m)
+        x_tgt, m_tgt, y_out = x_dev, m_dev, x_dev
         have_comp = np.zeros(F, bool)
         hole = np.full(F, np.inf, np.float32)
 
@@ -120,13 +194,9 @@ class Inpainter:
             active = valid & (~have_comp | (hole > e))
             if not active.any():
                 break
-            ref_idx_c = np.clip(ref_idx, 0, F - 1)
-            # ff aligns against the *original* frames, not inpainted ones
-            # (reference :115-119 samples x, m — the raw sequence).
-            x_ref = jnp.asarray(x)[jnp.asarray(ref_idx_c)]
-            m_ref = jnp.asarray(m)[jnp.asarray(ref_idx_c)]
+            ref_idx_c = jnp.asarray(np.clip(ref_idx, 0, F - 1))
             x_tgt, m_tgt, comp, hole_dev = self._refine(
-                x_tgt, m_tgt, x_ref, m_ref, jnp.asarray(active)
+                x_tgt, m_tgt, x_dev[ref_idx_c], m_dev[ref_idx_c], jnp.asarray(active)
             )
             y_out = jnp.where(jnp.asarray(active)[:, None, None, None], comp, y_out)
             have_comp |= active
@@ -139,8 +209,72 @@ class Inpainter:
         self, x: np.ndarray, m: np.ndarray, s: int = 1, D: int = 20, e: float = 1.0
     ) -> np.ndarray:
         """Inpaint-and-propagate (reference :137-191): center-out order,
-        previously inpainted frames serve as references. Host loop (true
-        sequential dependency), jitted single-frame refine inside."""
+        previously inpainted frames serve as references. The inter-frame
+        data dependency is real (each frame's first candidate is the
+        previously inpainted frame), so frames run sequentially — as one
+        ``lax.scan`` over the precomputed frame order with the candidate
+        while-loop on-device."""
+        if not self.device_loops:
+            return self.inpaint_ip_host(x, m, s, D, e)
+        prog = self._program(
+            ("ip", x.shape, s, D, e), lambda: self._ip_program(x.shape[0], s, D, e)
+        )
+        return np.asarray(prog(jnp.asarray(x), jnp.asarray(m)))
+
+    def _ip_program(self, F: int, s: int, D: int, e: float) -> Callable:
+        t_list = sorted(range(F), key=lambda i: abs(i - F // 2))
+        cand_lists = [get_indexes_ip(t, t_list, s, D) for t in t_list]
+        width = max(len(c) for c in cand_lists)
+        cand_tab = np.zeros((F, width), np.int32)
+        for i, c in enumerate(cand_lists):
+            cand_tab[i, : len(c)] = c
+        t_arr = jnp.asarray(t_list, jnp.int32)
+        cand_tab = jnp.asarray(cand_tab)
+        n_cands = jnp.asarray([len(c) for c in cand_lists], jnp.int32)
+
+        @jax.jit
+        def run(x, m):
+            def frame_step(carry, inp):
+                y_inp, m_inp = carry
+                t, cand_row, n = inp
+                x_t = jax.lax.dynamic_index_in_dim(y_inp, t, 0)  # (1, H, W, 3)
+                m_t = jax.lax.dynamic_index_in_dim(m_inp, t, 0)
+
+                def cond(st):
+                    k, _, _, _, hole = st
+                    return (k == 0) | ((k < n) & (hole > e))
+
+                def body(st):
+                    k, x_t, m_t, _, _ = st
+                    r = cand_row[jnp.minimum(k, width - 1)]
+                    x_t, m_t, comp, hole = self._refine_impl(
+                        x_t, m_t,
+                        jax.lax.dynamic_index_in_dim(y_inp, r, 0),
+                        jax.lax.dynamic_index_in_dim(m_inp, r, 0),
+                        jnp.ones((1,), bool),
+                    )
+                    return (k + 1, x_t, m_t, comp, hole[0])
+
+                init = (jnp.asarray(0), x_t, m_t, x_t,
+                        jnp.asarray(jnp.inf, jnp.float32))
+                _, _, _, comp, _ = jax.lax.while_loop(cond, body, init)
+                y_inp = jax.lax.dynamic_update_index_in_dim(y_inp, comp[0], t, 0)
+                m_inp = jax.lax.dynamic_update_index_in_dim(
+                    m_inp, jnp.zeros_like(m_t[0]), t, 0
+                )
+                return (y_inp, m_inp), None
+
+            (y_inp, _), _ = jax.lax.scan(
+                frame_step, (x, m), (t_arr, cand_tab, n_cands)
+            )
+            return y_inp
+
+        return run
+
+    def inpaint_ip_host(
+        self, x: np.ndarray, m: np.ndarray, s: int = 1, D: int = 20, e: float = 1.0
+    ) -> np.ndarray:
+        """Host-loop twin of ``inpaint_ip`` (one refine call per candidate)."""
         F = x.shape[0]
         y_inp = np.array(x, copy=True)
         m_inp = np.array(m, copy=True)
@@ -175,6 +309,64 @@ class Inpainter:
     ) -> np.ndarray:
         """Copy-and-propagate (reference :193-254): N alternating-parity
         passes, each half-step batched over all active frames."""
+        if not self.device_loops:
+            return self.inpaint_cp_host(x, m, N, s, e)
+        prog = self._program(
+            ("cp", x.shape, N, s, e), lambda: self._cp_program(x.shape[0], N, s, e)
+        )
+        return np.asarray(prog(jnp.asarray(x), jnp.asarray(m)))
+
+    def _cp_program(self, F: int, N: int, s: int, e: float) -> Callable:
+        idx = np.arange(F)
+        parity = jnp.asarray(np.stack([
+            np.asarray([(t // s) % (s if s > 1 else 2) == p for t in range(F)])
+            for p in (0, 1)
+        ]))  # (2, F)
+        deltas = (-s, s)
+        valid = [jnp.asarray((idx + d >= 0) & (idx + d < F)) for d in deltas]
+        ref_idx = [jnp.asarray(np.clip(idx + d, 0, F - 1).astype(np.int32))
+                   for d in deltas]
+
+        @jax.jit
+        def run(x, m):
+            def cond(st):
+                i, _, m_inp = st
+                holes = jnp.sum(m_inp, axis=(1, 2, 3))
+                return (i < N) & ((i <= 1) | jnp.any(holes > 0))
+
+            def body(st):
+                i, y_inp, m_inp = st
+                par = parity[i % 2]
+                for d_i in range(len(deltas)):
+                    holes = jnp.sum(m_inp, axis=(1, 2, 3))
+                    active = par & valid[d_i] & (holes > 0)
+
+                    def half_step(args, d_i=d_i, active=active, i=i):
+                        y_inp, m_inp = args
+                        x_t, m_t, comp, hole_pct = self._refine_impl(
+                            y_inp, m_inp,
+                            y_inp[ref_idx[d_i]], m_inp[ref_idx[d_i]], active,
+                        )
+                        # Frames done (hole < e) or in the final two passes
+                        # are finalized: mask zeroed, output = composite
+                        # (reference :250-252).
+                        finalize = active & ((hole_pct < e) | (i >= N - 2))
+                        fin = finalize[:, None, None, None]
+                        return (jnp.where(fin, comp, x_t), jnp.where(fin, 0.0, m_t))
+
+                    y_inp, m_inp = jax.lax.cond(
+                        jnp.any(active), half_step, lambda a: a, (y_inp, m_inp)
+                    )
+                return (i + 1, y_inp, m_inp)
+
+            return jax.lax.while_loop(cond, body, (jnp.asarray(0), x, m))[1]
+
+        return run
+
+    def inpaint_cp_host(
+        self, x: np.ndarray, m: np.ndarray, N: int = 20, s: int = 1, e: float = 1.0
+    ) -> np.ndarray:
+        """Host-loop twin of ``inpaint_cp`` (one refine call per half-step)."""
         F = x.shape[0]
         y_inp = jnp.asarray(x)
         m_inp = jnp.asarray(m)
@@ -194,9 +386,6 @@ class Inpainter:
                     y_inp, m_inp, y_inp[jnp.asarray(ref_idx_c)],
                     m_inp[jnp.asarray(ref_idx_c)], jnp.asarray(active),
                 )
-                # Frames done (hole < e) or in the final two passes are
-                # finalized: mask zeroed, output = composite (reference
-                # :250-252).
                 finalize = np.asarray(active) & (
                     (np.asarray(hole_pct) < e) | (i >= N - 2)
                 )

@@ -56,6 +56,16 @@ def _sequence(rng, F=6, h=24, w=24):
 
 
 @pytest.mark.parametrize("algo", ["ff", "ip", "cp"])
+def test_device_program_matches_host_loop(rng, algo, inpainter):
+    """The single-device-program algorithms (lax.scan/while over precomputed
+    candidate schedules) produce exactly what the host-loop twins do."""
+    x, m, _ = _sequence(rng)
+    dev = getattr(inpainter, f"inpaint_{algo}")(x, m)
+    host = getattr(inpainter, f"inpaint_{algo}_host")(x, m)
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+@pytest.mark.parametrize("algo", ["ff", "ip", "cp"])
 def test_inpaint_algorithms_fill_holes(rng, algo, inpainter):
     x, m, y = _sequence(rng)
     out = getattr(inpainter, f"inpaint_{algo}")(x, m)
