@@ -193,6 +193,83 @@ def rrdbnet_head_forward(params, x, dtype):
     return y.at[:, :, :2].set(lef).at[:, :, -2:].set(rig)
 
 
+def chn_head_grouped(params, x_t_n, v_t, x_r_n, v_r, v_m, dtype):
+    """The composed RRDBNet head evaluated by source group.
+
+    The head is linear (no activations), so ``head(concat(groups)) =
+    sum_g head_g(group_g)`` with ``head_g`` = the composed 15x15 kernel
+    sliced to that group's input channels. The per-target channels
+    (``x_target``, ``v_target``) are identical across the F references
+    (CHN repeats the target per ref, reference model_chn.py:76-79), so
+    their head contribution is computed once per *target* and broadcast —
+    at F=5 that cuts composed-head FLOPs ~36% and never materializes the
+    ``(B*F, H, W, 9)`` concat. Border bands are recomputed exactly from
+    narrow 9-channel strips as in :func:`rrdbnet_head_forward`.
+
+    Args:
+        x_t_n: ``(B, H, W, 3)`` ImageNet-normalized target.
+        v_t: ``(B, H, W, 1)`` target visibility.
+        x_r_n: ``(B, F, H, W, 3)`` normalized aligned refs.
+        v_r, v_m: ``(B, F, H, W, 1)`` aligned visibility / visibility map.
+
+    Returns:
+        ``(B*F, H/4, W/4, nf)`` — identical to running the head on the
+        9-channel concat.
+    """
+    from master_thesis_tpu.models.nn_ext import compose_conv_kernels
+
+    b, f, hh, ww, _ = x_r_n.shape
+    head = [
+        (params[f"conv_first_{i}_kernel"], params[f"conv_first_{i}_bias"])
+        for i in range(5)
+    ]
+
+    def run_head_exact(inp):
+        h = inp
+        for (wk, bk), s in zip(head, _HEAD_STRIDES):
+            h = _conv_nhwc(h, wk, bk, stride=s, dtype=dtype)
+        return h
+
+    def strip9(sl_h, sl_w):
+        """9-channel concat of an input strip, channel order
+        [x_t, x_ref, v_t, v_ref, v_map] (reference model_chn.py:76-79)."""
+        xt = jnp.broadcast_to(x_t_n[:, None, sl_h, sl_w], x_r_n[:, :, sl_h, sl_w].shape)
+        vt = jnp.broadcast_to(v_t[:, None, sl_h, sl_w], v_r[:, :, sl_h, sl_w].shape)
+        cat = jnp.concatenate(
+            [xt, x_r_n[:, :, sl_h, sl_w], vt, v_r[:, :, sl_h, sl_w],
+             v_m[:, :, sl_h, sl_w]], axis=-1,
+        )
+        return cat.reshape((b * f,) + cat.shape[2:])
+
+    h_out, w_out = (hh + 14 - 15) // 4 + 1, (ww + 14 - 15) // 4 + 1
+    if h_out <= 4 or w_out <= 4 or hh % 4 or ww % 4:
+        return run_head_exact(strip9(slice(None), slice(None)))
+
+    w_eff = head[0][0]
+    for (wk, _), s_prev in zip(head[1:], np.cumprod(_HEAD_STRIDES)[:-1]):
+        w_eff = compose_conv_kernels(w_eff, int(s_prev), wk)
+    w_tgt = w_eff[:, :, (0, 1, 2, 6), :]  # x_t (3) + v_t
+    w_ref = w_eff[:, :, (3, 4, 5, 7, 8), :]  # x_ref (3) + v_ref + v_map
+
+    y_t = _conv_nhwc(
+        jnp.concatenate([x_t_n, v_t], axis=-1), w_tgt, stride=4, pad=7, dtype=dtype
+    )  # (B, H/4, W/4, nf) — once per target
+    ref_in = jnp.concatenate([x_r_n, v_r, v_m], axis=-1)
+    y_r = _conv_nhwc(
+        ref_in.reshape(b * f, hh, ww, 5), w_ref, stride=4, pad=7, dtype=dtype
+    )
+    y = y_r + jnp.broadcast_to(
+        y_t[:, None], (b, f) + y_t.shape[1:]
+    ).reshape(y_r.shape)
+    y = y + run_head_exact(jnp.zeros((1, hh, ww, 9), y.dtype))
+    top = run_head_exact(strip9(slice(0, 16), slice(None)))[:, :2]
+    bot = run_head_exact(strip9(slice(-16, None), slice(None)))[:, -2:]
+    y = y.at[:, :2].set(top).at[:, -2:].set(bot)
+    lef = run_head_exact(strip9(slice(None), slice(0, 16)))[:, :, :2]
+    rig = run_head_exact(strip9(slice(None), slice(-16, None)))[:, :, -2:]
+    return y.at[:, :, :2].set(lef).at[:, :, -2:].set(rig)
+
+
 def rrdbnet_tail_forward(params, y, dtype):
     """upconv1/2 (fused phase convs + pixel shuffle), hr_conv, conv_last."""
     from master_thesis_tpu.models.nn_ext import (
@@ -214,16 +291,19 @@ def rrdbnet_tail_forward(params, y, dtype):
 def rrdbnet_infer_apply(
     params, x, nb: int, nf: int = 64, gc: int = 32,
     dtype=jnp.bfloat16, pallas_trunk: bool = True, interpret: bool = False,
+    head_y=None,
 ):
     """Pure-function RRDBNet forward for inference/serving.
 
     Identical math to ``RRDBNet.__call__`` but with the trunk running as the
     fused Pallas kernel (ops/pallas_rrdb.py) — ~1.5x over the XLA trunk on
     v5e. Forward-only (the kernel defines no VJP); training uses the module.
+    ``head_y``: precomputed head output (``chn_head_grouped``) — skips the
+    in-function head (``x`` is then ignored).
     """
     from master_thesis_tpu.ops.pallas_rrdb import rrdb_trunk_pallas
 
-    y = rrdbnet_head_forward(params, x, dtype)
+    y = head_y if head_y is not None else rrdbnet_head_forward(params, x, dtype)
     if pallas_trunk:
         trunk = rrdb_trunk_pallas(y, params, nb=nb, nf=nf, gc=gc, interpret=interpret)
     else:
@@ -313,15 +393,16 @@ def chn_infer_apply(
     b, f, h, w, c = x_refs_aligned.shape
     mean = jnp.asarray(IMAGENET_MEAN, dtype=x_target.dtype)
     std = jnp.asarray(IMAGENET_STD, dtype=x_target.dtype)
+    head_y = chn_head_grouped(
+        params, (x_target - mean) / std, v_target,
+        (x_refs_aligned - mean) / std, v_refs_aligned, v_maps, dtype,
+    )
+    nn_output = rrdbnet_infer_apply(
+        params, None, nb=nb, nf=nf, gc=gc, dtype=dtype, interpret=interpret,
+        head_y=head_y,
+    ).reshape(b, f, h, w, 3)
     x_t = jnp.broadcast_to(x_target[:, None], (b, f, h, w, c))
     v_t = jnp.broadcast_to(v_target[:, None], (b, f, h, w, 1))
-    nn_input = jnp.concatenate(
-        [(x_t - mean) / std, (x_refs_aligned - mean) / std, v_t, v_refs_aligned, v_maps],
-        axis=-1,
-    ).reshape(b * f, h, w, 9)
-    nn_output = rrdbnet_infer_apply(
-        params, nn_input, nb=nb, nf=nf, gc=gc, dtype=dtype, interpret=interpret
-    ).reshape(b, f, h, w, 3)
     y_hat = jnp.clip(nn_output.astype(jnp.float32) * std + mean, 0.0, 1.0)
     y_hat_comp = v_t * x_t + (1 - v_t) * y_hat
     return y_hat, y_hat_comp

@@ -135,10 +135,22 @@ class CPN(nn.Module):
 
         # Frames and visibility share the grid and the bilinear mode
         # (reference model_cpn.py:79-88), so one 4-channel warp covers both
-        # — halves the tent-weight construction of the matmul warp.
+        # — halves the tent-weight construction of the matmul warp. When the
+        # module computes in bf16 (serving), the warp's matmuls run at bf16
+        # precision too: its output only feeds the bf16 network input, so
+        # the ~4e-3 warp error is below the network's own rounding, and the
+        # MXU runs 3.4x faster than the f32-HIGHEST parity path.
+        import jax
+
+        warp_precision = (
+            jax.lax.Precision.DEFAULT
+            if self.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST
+        )
         warped = grid_sample(
             jnp.concatenate([x_refs_flat, 1.0 - m_refs_flat], axis=-1),
             grid, mode="bilinear", align_corners=False,
+            precision=warp_precision,
         )
         x_aligned = warped[..., :c].reshape(b, f, h, w, c)
         v_aligned = warped[..., c:].reshape(b, f, h, w, 1)
