@@ -301,13 +301,20 @@ def rrdbnet_infer_apply(
     ``head_y``: precomputed head output (``chn_head_grouped``) — skips the
     in-function head (``x`` is then ignored).
     """
-    from master_thesis_tpu.ops.pallas_rrdb import rrdb_trunk_pallas
+    from master_thesis_tpu.ops.pallas_rrdb import (
+        pallas_trunk_fits,
+        rrdb_trunk_pallas,
+        rrdb_trunk_xla,
+    )
 
     y = head_y if head_y is not None else rrdbnet_head_forward(params, x, dtype)
-    if pallas_trunk:
+    hw = y.shape[1] * y.shape[2]
+    if pallas_trunk and (interpret or pallas_trunk_fits(nf, gc, hw)):
         trunk = rrdb_trunk_pallas(y, params, nb=nb, nf=nf, gc=gc, interpret=interpret)
     else:
-        raise NotImplementedError("use RRDBNet.apply for the XLA trunk")
+        # Large spatial sizes (512²+): the fused kernel's per-frame working
+        # set exceeds scoped VMEM; run the regrouped XLA formulation.
+        trunk = rrdb_trunk_xla(y, params, nb=nb, nf=nf, gc=gc, dtype=dtype)
     y = y + _conv_nhwc(trunk, params["trunk_conv_kernel"], params["trunk_conv_bias"], dtype=dtype)
     return rrdbnet_tail_forward(params, y, dtype)
 

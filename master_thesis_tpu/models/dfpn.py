@@ -304,8 +304,14 @@ def dfpn_align(
     m_refs: jnp.ndarray,
     vgg_feats_target: jnp.ndarray,
     vgg_feats_refs: jnp.ndarray,
+    warp_precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Aligner interface matching CPN.align (reference model_dfpn.py:103-133)."""
+    """Aligner interface matching CPN.align (reference model_dfpn.py:103-133).
+
+    ``warp_precision``: matmul precision of the frame warp — pass
+    ``jax.lax.Precision.DEFAULT`` on the bf16 serving path (the warped
+    frames only feed the bf16 CHN input; see CPN.align for the rationale).
+    """
     _, _, _, flow_full = jax.lax.stop_gradient(
         dfpn_apply(
             params, x_target, m_target, x_refs, m_refs,
@@ -313,7 +319,7 @@ def dfpn_align(
         )
     )
     x_ref_aligned, v_ref_aligned = flows_ops.align_set(
-        x_refs, 1.0 - m_refs, flow_full
+        x_refs, 1.0 - m_refs, flow_full, precision=warp_precision
     )
     v_map = jnp.clip(v_ref_aligned - (1.0 - m_target[:, None]), 0.0, 1.0)
     return x_ref_aligned, v_ref_aligned, v_map

@@ -60,7 +60,7 @@ def crop_flow(
 
 
 def align_set(
-    x: jnp.ndarray, v: jnp.ndarray, flow: jnp.ndarray
+    x: jnp.ndarray, v: jnp.ndarray, flow: jnp.ndarray, precision=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Warps frames ``x`` (bilinear) and visibility ``v`` (nearest) by ``flow``.
 
@@ -71,6 +71,10 @@ def align_set(
         x: ``(B, F, H, W, C)`` frames.
         v: ``(B, F, H, W, 1)`` visibility maps.
         flow: ``(B, F, H, W, 2)`` absolute flows.
+        precision: matmul precision of both warps (see ops/grid_sample.py);
+            ``None`` = full f32. Reduced precision is lossless for the
+            nearest-mode visibility warp — its weights are one-hot and the
+            maps are 0/1, so every product is exact in bf16 too.
 
     Returns:
         ``(x_aligned, v_aligned)`` with the input shapes.
@@ -78,10 +82,12 @@ def align_set(
     b, f, h, w, c = x.shape
     grid = flow.reshape(b * f, h, w, 2)
     x_aligned = grid_sample(
-        x.reshape(b * f, h, w, c), grid, mode="bilinear", align_corners=True
+        x.reshape(b * f, h, w, c), grid, mode="bilinear", align_corners=True,
+        precision=precision,
     )
     v_aligned = grid_sample(
-        v.reshape(b * f, h, w, v.shape[-1]), grid, mode="nearest", align_corners=True
+        v.reshape(b * f, h, w, v.shape[-1]), grid, mode="nearest",
+        align_corners=True, precision=precision,
     )
     return x_aligned.reshape(x.shape), v_aligned.reshape(v.shape)
 

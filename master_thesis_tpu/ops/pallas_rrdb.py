@@ -163,6 +163,25 @@ def rrdb_pallas(
     )(x_chw, *wb)
 
 
+def pallas_trunk_fits(nf: int, gc: int, hw: int) -> bool:
+    """Whether one kernel instance's working set fits scoped VMEM (16 MB).
+
+    Per grid step the kernel holds (all (·, HW)-shaped): the f32 source
+    being rolled, the 9-tap stack (9·C_src in the weight dtype), the f32
+    accumulator segments (sum of conv outputs = nf + 4·gc rows), and the
+    x/out blocks. Measured on v5e: HW=4096 compiles, HW=8192 overflows by
+    ~3.5 MB — the estimate below reproduces that boundary with ~20% slack.
+    """
+    acc_rows = nf + 4 * gc
+    bytes_per_lane = (
+        9 * nf * 2  # tap stack of the widest source (bf16)
+        + nf * 4  # f32 rolled source
+        + acc_rows * 4  # f32 accumulators
+        + 2 * nf * 2  # x block + out block (bf16)
+    )
+    return bytes_per_lane * hw <= 12 << 20
+
+
 def rrdb_trunk_pallas(
     x_nhwc: jnp.ndarray,
     rrdbnet_params: dict,
@@ -174,10 +193,76 @@ def rrdb_trunk_pallas(
     """Runs the full nb-block trunk with the fused kernel.
 
     x_nhwc: (N, H, W, nf) trunk input (the RRDBNet head output). Returns the
-    trunk output in NHWC, ready for trunk_conv.
+    trunk output in NHWC, ready for trunk_conv. The caller is responsible
+    for checking :func:`pallas_trunk_fits` — at large spatial sizes (512²+)
+    the per-frame working set exceeds scoped VMEM and the XLA trunk
+    (:func:`rrdb_trunk_xla`) must be used instead.
     """
     n, h, w, c = x_nhwc.shape
     x = x_nhwc.reshape(n, h * w, c).transpose(0, 2, 1)  # (N, C, HW)
     for i in range(nb):
         x = rrdb_pallas(x, rrdbnet_params[f"rrdb_{i}"], nf, gc, w, interpret=interpret)
     return x.transpose(0, 2, 1).reshape(n, h, w, c)
+
+
+def rrdb_trunk_xla(
+    x_nhwc: jnp.ndarray,
+    rrdbnet_params: dict,
+    nb: int,
+    nf: int = 64,
+    gc: int = 32,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """XLA twin of :func:`rrdb_trunk_pallas` on the same flat param tree.
+
+    Same regrouped per-source wide-conv formulation as the flax module
+    (models/chn.py:ResidualDenseBlock5C); used when the fused kernel's
+    working set exceeds VMEM (large spatial sizes).
+    """
+
+    # This backend defaults conv precision to bf16 even in f32 (CLAUDE.md);
+    # request full precision when running f32 (parity tests), bf16 when
+    # serving in bf16 (HIGHEST on bf16 inputs is the same multiply anyway).
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+    def conv(inp, kernel):
+        return jax.lax.conv_general_dilated(
+            inp.astype(dtype), kernel.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec,
+        )
+
+    outs = [gc, gc, gc, gc, nf]
+    splits = np.cumsum(outs)[:-1].tolist()
+
+    def rdb(params, x):
+        ks = [params[f"conv{k}_kernel"] for k in range(1, 6)]
+        bs = [params[f"conv{k}_bias"] for k in range(1, 6)]
+
+        def src_w(src):
+            lo = 0 if src == 0 else nf + (src - 1) * gc
+            hi = nf if src == 0 else lo + gc
+            return jnp.concatenate(
+                [ks[t][:, :, lo:hi, :] for t in range(src, 5)], axis=-1
+            )
+
+        p = list(jnp.split(conv(x, src_w(0)), splits, axis=-1))
+        xs = x
+        for k in range(4):
+            xk = jax.nn.leaky_relu(p[k] + bs[k].astype(dtype), 0.2)
+            contrib = conv(xk, src_w(k + 1))
+            pieces = jnp.split(
+                contrib, np.cumsum(outs[k + 1 : -1]).tolist(), axis=-1
+            )
+            for idx, piece in enumerate(pieces):
+                p[k + 1 + idx] = p[k + 1 + idx] + piece
+        x5 = p[4] + bs[4].astype(dtype)
+        return 0.2 * x5 + xs
+
+    x = x_nhwc.astype(dtype)
+    for i in range(nb):
+        blk = rrdbnet_params[f"rrdb_{i}"]
+        y = x
+        for j in (1, 2, 3):
+            y = rdb(blk[f"rdb{j}"], y)
+        x = 0.2 * y + x
+    return x

@@ -79,6 +79,10 @@ def dfpn_align_fn(cfg, dfpn_model, dfpn_params, vgg_apply: Callable) -> Callable
     """Aligner closure with the DFPN interface shared with CPN
     (reference model_dfpn.py:103-133)."""
 
+    warp_precision = (
+        jax.lax.Precision.DEFAULT if _dtype(cfg) == jnp.bfloat16 else None
+    )
+
     def align_fn(x_t, m_t, x_r, m_r):
         b, f, h, w, _ = x_r.shape
         feats_t = vgg_apply(prepare_vgg_input(x_t), normalize_input=False)[3]
@@ -89,6 +93,7 @@ def dfpn_align_fn(cfg, dfpn_model, dfpn_params, vgg_apply: Callable) -> Callable
         return dfpn_align(
             lambda p, *a: dfpn_model.apply(p, *a),
             dfpn_params, x_t, m_t, x_r, m_r, feats_t, feats_r,
+            warp_precision=warp_precision,
         )
 
     return align_fn

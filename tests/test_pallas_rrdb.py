@@ -34,6 +34,23 @@ def test_rrdb_trunk_chains_blocks(rng):
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
 
 
+def test_rrdb_trunk_xla_matches_module(rng):
+    """The large-spatial fallback (rrdb_trunk_xla) equals the flax module
+    on the same flat params (float32 for exactness)."""
+    from master_thesis_tpu.ops.pallas_rrdb import rrdb_trunk_xla
+
+    nf, gc, h, w, n = 16, 8, 8, 8, 2
+    mod = RRDB(nf=nf, gc=gc)
+    x = jnp.asarray(rng.rand(n, h, w, nf).astype(np.float32))
+    p1 = mod.init(jax.random.PRNGKey(0), x)["params"]
+    p2 = mod.init(jax.random.PRNGKey(1), x)["params"]
+    want = np.asarray(mod.apply({"params": p2}, mod.apply({"params": p1}, x)))
+    got = rrdb_trunk_xla(
+        x, {"rrdb_0": p1, "rrdb_1": p2}, nb=2, nf=nf, gc=gc, dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
 def test_chn_infer_apply_matches_module(rng):
     """The pallas-trunk inference path equals CHN.apply (interpret mode)."""
     from master_thesis_tpu.models.chn import CHN, chn_infer_apply
