@@ -139,15 +139,57 @@ def grid_sample_mm(
     gy_c = gy.reshape(n, nch, t, wo).transpose(1, 0, 2, 3)
     xf = x.astype(jnp.float32)
 
+    # Banded y-contraction: a warp tap at output row block [i, i+T) only
+    # touches source rows within 1 of that block's gy values — for
+    # alignment-like warps (scale ~1, mild rotation) that's a ~T+rot·W'
+    # row band, not all H. Each chunk locates its per-item band start with
+    # a dynamic slice and contracts B rows instead of H (~H/B fewer MACs);
+    # a lax.cond falls back to the dense contraction for any chunk whose
+    # tent support doesn't fit the static band, so the result is exact for
+    # EVERY grid. Band fit is the common case: regressed affine thetas and
+    # DFPN flows are near-identity maps.
+    band = min(h, 64)
+    use_band = band < h
+
+    def x_contract(src, wx):
+        return jnp.einsum("nyxc,ntxj->ntyjc", src, wx, precision=precision)
+
+    def y_contract(r, wy):
+        return jnp.einsum("ntyjc,ntyj->ntjc", r, wy, precision=precision)
+
     def body(_, inp):
         gxc, gyc = inp  # (N, T, W')
         wx = weight(xs[None, None, :, None], gxc[:, :, None, :])  # (N,T,W,W')
-        r = jnp.einsum(
-            "nyxc,ntxj->ntyjc", xf, wx, precision=precision
-        )  # (N,T,H,W',C)
-        wy = weight(ys[None, None, :, None], gyc[:, :, None, :])  # (N,T,H,W')
-        out = jnp.einsum("ntyjc,ntyj->ntjc", r, wy, precision=precision)
-        return None, out
+
+        def dense(_):
+            r = jnp.einsum(
+                "nyxc,ntxj->ntyjc", xf, wx, precision=precision
+            )  # (N,T,H,W',C)
+            wy = weight(ys[None, None, :, None], gyc[:, :, None, :])  # (N,T,H,W')
+            return y_contract(r, wy)
+
+        if not use_band:
+            return None, dense(None)
+
+        gy_min = jnp.min(gyc, axis=(1, 2))  # (N,)
+        gy_max = jnp.max(gyc, axis=(1, 2))
+        start = jnp.clip(
+            jnp.floor(gy_min).astype(jnp.int32) - 1, 0, h - band
+        )  # (N,)
+        # Highest in-range source row any tap can touch must lie in the band.
+        hi_tap = jnp.minimum(jnp.floor(gy_max) + 1.0, float(h - 1))
+        fits = jnp.all(hi_tap <= (start + band - 1).astype(jnp.float32))
+
+        def banded(_):
+            xb = jax.vmap(
+                lambda img, s0: jax.lax.dynamic_slice(img, (s0, 0, 0), (band, w, c))
+            )(xf, start)  # (N, B, W, C)
+            r = x_contract(xb, wx)  # (N,T,B,W',C)
+            ys_b = (start[:, None] + jnp.arange(band)).astype(jnp.float32)
+            wy = weight(ys_b[:, None, :, None], gyc[:, :, None, :])  # (N,T,B,W')
+            return y_contract(r, wy)
+
+        return None, jax.lax.cond(fits, banded, dense, None)
 
     _, outs = jax.lax.scan(body, None, (gx_c, gy_c))  # (nch, N, T, W', C)
     out = outs.transpose(1, 0, 2, 3, 4).reshape(n, nch * t, wo, c)

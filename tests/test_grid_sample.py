@@ -84,3 +84,35 @@ def test_mm_impl_nonsquare_and_padding(rng):
     a = np.asarray(grid_sample_mm(jnp.asarray(x), jnp.asarray(grid), row_chunk=4))
     b = np.asarray(grid_sample_gather(jnp.asarray(x), jnp.asarray(grid)))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_mm_banded_y_contraction_matches_gather(rng):
+    """Images tall enough for the banded path (h > 64): near-identity
+    affines take the banded branch, a 126-degree rotation forces the dense
+    lax.cond fallback — both must be exact; grads flow through the band's
+    dynamic slice."""
+    import jax
+
+    from master_thesis_tpu.ops.grid_sample import (
+        affine_grid, grid_sample_gather, grid_sample_mm,
+    )
+
+    h = w = 96
+    x = jnp.asarray(rng.rand(3, h, w, 2).astype(np.float32))
+    ident = np.tile(np.asarray([[1, 0, 0], [0, 1, 0]], np.float32), (3, 1, 1))
+    near = jnp.asarray(ident + rng.randn(3, 2, 3).astype(np.float32) * 0.05)
+    a = 2.2
+    rot = jnp.asarray(np.tile(np.asarray(
+        [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0]], np.float32
+    ), (3, 1, 1)))
+    shift = jnp.asarray(ident + np.asarray([[[0, 0, 0.9], [0, 0, -0.9]]], np.float32))
+    for name, theta in (("near", near), ("rot", rot), ("edge-shift", shift)):
+        g = affine_grid(theta, (h, w), align_corners=False)
+        for mode in ("bilinear", "nearest"):
+            mm = np.asarray(grid_sample_mm(x, g, mode=mode, align_corners=False))
+            ga = np.asarray(grid_sample_gather(x, g, mode=mode, align_corners=False))
+            np.testing.assert_allclose(mm, ga, atol=1e-5, err_msg=f"{name}/{mode}")
+
+    g = affine_grid(near, (h, w), align_corners=False)
+    grad = jax.grad(lambda xx: grid_sample_mm(xx, g, align_corners=False).sum())(x)
+    assert bool(jnp.isfinite(grad).all())
