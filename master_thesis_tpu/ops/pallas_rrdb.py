@@ -67,14 +67,28 @@ def _rrdb_tap_weights(rrdb_params: dict, nf: int, gc: int, dtype):
     return flat
 
 
-def _rrdb_kernel(nf, gc, w_img, x_ref, *rest):
-    """One frame's RRDB. x_ref: (1, C, HW). rest = 3x(5 weights + 5 biases)
-    then out_ref."""
+def _tap_masks(w_img: int, hw: int) -> np.ndarray:
+    """(9, HW) f32 validity planes for the flat-roll taps — 1 where tap
+    ``(dy, dx)`` of flat position ``p`` stays on the same row and in range.
+    Static per (W, HW); passed into the kernel so masking is ONE multiply
+    per tap instead of iota compares + select on the VPU."""
+    pos = np.arange(hw)
+    col = pos % w_img
+    masks = np.empty((9, hw), np.float32)
+    for k, (dy, dx) in enumerate(_TAPS):
+        off = dy * w_img + dx
+        valid = (col + dx >= 0) & (col + dx < w_img)
+        valid &= (pos + off >= 0) & (pos + off < hw)
+        masks[k] = valid
+    return masks
+
+
+def _rrdb_kernel(nf, gc, w_img, x_ref, masks_ref, *rest):
+    """One frame's RRDB. x_ref: (1, C, HW); masks_ref: (9, HW) tap validity.
+    rest = 3x(5 weights + 5 biases) then out_ref."""
     out_ref = rest[-1]
     wb = rest[:-1]
     hw = x_ref.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, hw), 1) % w_img
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, hw), 1)
 
     outs = [gc, gc, gc, gc, nf]
     bounds = np.cumsum(outs)
@@ -89,13 +103,14 @@ def _rrdb_kernel(nf, gc, w_img, x_ref, *rest):
         """
         src_f32 = src_vals.astype(jnp.float32)
         taps = []
-        for dy, dx in _TAPS:
+        for k, (dy, dx) in enumerate(_TAPS):
             off = dy * w_img + dx
+            if off == 0:
+                taps.append(src_f32)
+                continue
             # pltpu.roll requires a non-negative shift; roll by -off mod HW.
-            shifted = pltpu.roll(src_f32, (-off) % hw, 1) if off else src_f32
-            valid = (col + dx >= 0) & (col + dx < w_img)
-            valid = valid & (pos + off >= 0) & (pos + off < hw)
-            taps.append(jnp.where(valid, shifted, 0.0))
+            shifted = pltpu.roll(src_f32, (-off) % hw, 1)
+            taps.append(shifted * masks_ref[k : k + 1, :])
         stacked = jnp.concatenate(taps, axis=0).astype(w_stk.dtype)  # (9C, HW)
         prec = (
             jax.lax.Precision.HIGHEST if w_stk.dtype == jnp.float32 else None
@@ -116,9 +131,11 @@ def _rrdb_kernel(nf, gc, w_img, x_ref, *rest):
         bs = wb[j * 10 + 5 : j * 10 + 10]
         # Per-conv accumulator segments (Mosaic has no scatter-add, so the
         # big accumulator is kept as a list and updated with plain adds).
+        # Sources pass in their native dtype: the rolls run f32 either way
+        # and the tap stack is rounded to the weight dtype once at the
+        # matmul — pre-casting would be two extra VPU passes, same values.
         p = accum_from(
-            x_blk.astype(ws[0].dtype), ws[0][:],
-            jnp.zeros((int(bounds[-1]), hw), jnp.float32),
+            x_blk, ws[0][:], jnp.zeros((int(bounds[-1]), hw), jnp.float32)
         )
         accs = list(jnp.split(p, split_at, axis=0))
 
@@ -126,7 +143,7 @@ def _rrdb_kernel(nf, gc, w_img, x_ref, *rest):
             xk = lrelu(accs[k] + bs[k][:])
             w = ws[k + 1][:]  # contributions from xk into conv_{k+2}..conv_5
             contrib = accum_from(
-                xk.astype(w.dtype), w, jnp.zeros((w.shape[0], hw), jnp.float32)
+                xk, w, jnp.zeros((w.shape[0], hw), jnp.float32)
             )
             pieces = jnp.split(
                 contrib, [int(b - bounds[k]) for b in bounds[k + 1 : -1]], axis=0
@@ -151,16 +168,17 @@ def rrdb_pallas(
     """Applies one RRDB to ``x_chw`` (N, C, H*W) via the fused kernel."""
     n, c, hw = x_chw.shape
     wb = _rrdb_tap_weights(rrdb_params, nf, gc, x_chw.dtype)
+    masks = jnp.asarray(_tap_masks(w_img, hw))
     kernel = functools.partial(_rrdb_kernel, nf, gc, w_img)
     return pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[pl.BlockSpec((1, c, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wb),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(wb)),
         out_specs=pl.BlockSpec((1, c, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, c, hw), x_chw.dtype),
         interpret=interpret,
-    )(x_chw, *wb)
+    )(x_chw, masks, *wb)
 
 
 def pallas_trunk_fits(nf: int, gc: int, hw: int) -> bool:
