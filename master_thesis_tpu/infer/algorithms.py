@@ -60,6 +60,29 @@ def get_indexes_ip(t: int, t_list: List[int], s: int, D: int) -> List[int]:
     return inpainted + [i for i in ff if i not in inpainted]
 
 
+def _bucket(n: int, step: int = 8) -> int:
+    """Rounds the frame count up to a multiple of ``step``: device programs
+    compile once per (bucket, H, W) instead of once per sequence length
+    (DAVIS clips are 25-104 frames; remote compiles cost minutes each).
+    Padded frames are hole-free and excluded from every candidate table,
+    so they pass through the loops untouched."""
+    return max(step, -(-n // step) * step)
+
+
+def _pad_frames(x: np.ndarray, m: np.ndarray, fp: int):
+    """Pads to ``fp`` frames: frames replicate the last real frame (never
+    referenced — candidate indices are bounded by the real count), masks
+    are zero (hole-free => inert under every algorithm's update rule)."""
+    f = x.shape[0]
+    if fp == f:
+        return x, m
+    reps = np.repeat(x[-1:], fp - f, axis=0)
+    return (
+        np.concatenate([x, reps], axis=0),
+        np.concatenate([m, np.zeros((fp - f,) + m.shape[1:], m.dtype)], axis=0),
+    )
+
+
 class Inpainter:
     """Drives the three algorithms over one decoded sequence.
 
@@ -126,26 +149,36 @@ class Inpainter:
         """
         if not self.device_loops:
             return self.inpaint_ff_host(x, m, s, D, e)
-        prog = self._program(
-            ("ff", x.shape, s, D, e), lambda: self._ff_program(x.shape[0], s, D, e)
-        )
-        return np.asarray(prog(jnp.asarray(x), jnp.asarray(m)))
-
-    def _ff_program(self, F: int, s: int, D: int, e: float) -> Callable:
+        F = x.shape[0]
+        fp = _bucket(F)
         offsets: List[int] = []
         for d in range(s, D + 1, s):
             offsets += [-d, d]
-        n_rounds = len(offsets)
-        idx = np.arange(F)
-        valid = jnp.asarray(
-            np.stack([(idx + o >= 0) & (idx + o < F) for o in offsets])
-        )  # (R, F)
-        ref_idx = jnp.asarray(
-            np.stack([np.clip(idx + o, 0, F - 1) for o in offsets]).astype(np.int32)
+        idx = np.arange(fp)
+        # Candidate validity is bounded by the REAL frame count; padded
+        # targets get all-False rows and stay untouched.
+        valid = np.stack([(idx + o >= 0) & (idx + o < F) for o in offsets])
+        valid[:, F:] = False
+        ref_idx = np.stack(
+            [np.clip(idx + o, 0, F - 1) for o in offsets]
+        ).astype(np.int32)
+        xp, mp = _pad_frames(x, m, fp)
+        prog = self._program(
+            ("ff", (fp,) + x.shape[1:], len(offsets), e),
+            lambda: self._ff_program(fp, len(offsets), e),
         )
+        out = prog(
+            jnp.asarray(xp), jnp.asarray(mp), jnp.asarray(valid), jnp.asarray(ref_idx)
+        )
+        return np.asarray(out[:F])
+
+    def _ff_program(self, F: int, n_rounds: int, e: float) -> Callable:
+        """``run(x, m, valid (R,F) bool, ref_idx (R,F) i32)``. The round
+        tables are runtime inputs, so one compile per (padded-F, H, W)
+        bucket serves every real sequence length and offset schedule."""
 
         @jax.jit
-        def run(x, m):
+        def run(x, m, valid, ref_idx):
             def actives(k, have, hole):
                 return valid[jnp.minimum(k, n_rounds - 1)] & (~have | (hole > e))
 
@@ -216,24 +249,37 @@ class Inpainter:
         while-loop on-device."""
         if not self.device_loops:
             return self.inpaint_ip_host(x, m, s, D, e)
-        prog = self._program(
-            ("ip", x.shape, s, D, e), lambda: self._ip_program(x.shape[0], s, D, e)
-        )
-        return np.asarray(prog(jnp.asarray(x), jnp.asarray(m)))
-
-    def _ip_program(self, F: int, s: int, D: int, e: float) -> Callable:
+        F = x.shape[0]
+        fp = _bucket(F)
         t_list = sorted(range(F), key=lambda i: abs(i - F // 2))
         cand_lists = [get_indexes_ip(t, t_list, s, D) for t in t_list]
-        width = max(len(c) for c in cand_lists)
-        cand_tab = np.zeros((F, width), np.int32)
+        # Candidates are unique frame indices != t, so width <= fp - 1 —
+        # the static table width shared by the whole bucket.
+        width = fp - 1
+        cand_tab = np.zeros((fp, width), np.int32)
+        n_cands = np.ones((fp,), np.int32)  # padded frames: 1 inert refine
         for i, c in enumerate(cand_lists):
             cand_tab[i, : len(c)] = c
-        t_arr = jnp.asarray(t_list, jnp.int32)
-        cand_tab = jnp.asarray(cand_tab)
-        n_cands = jnp.asarray([len(c) for c in cand_lists], jnp.int32)
+            n_cands[i] = len(c)
+        t_arr = np.asarray(t_list + list(range(F, fp)), np.int32)
+        xp, mp = _pad_frames(x, m, fp)
+        prog = self._program(
+            ("ip", (fp,) + x.shape[1:], e), lambda: self._ip_program(fp, e)
+        )
+        out = prog(
+            jnp.asarray(xp), jnp.asarray(mp), jnp.asarray(t_arr),
+            jnp.asarray(cand_tab), jnp.asarray(n_cands),
+        )
+        return np.asarray(out[:F])
+
+    def _ip_program(self, F: int, e: float) -> Callable:
+        """``run(x, m, t_arr (F,), cand_tab (F, F-1), n_cands (F,))`` —
+        frame order and candidate tables are runtime inputs (one compile
+        per bucket)."""
+        width = F - 1
 
         @jax.jit
-        def run(x, m):
+        def run(x, m, t_arr, cand_tab, n_cands):
             def frame_step(carry, inp):
                 y_inp, m_inp = carry
                 t, cand_row, n = inp
@@ -311,24 +357,35 @@ class Inpainter:
         passes, each half-step batched over all active frames."""
         if not self.device_loops:
             return self.inpaint_cp_host(x, m, N, s, e)
-        prog = self._program(
-            ("cp", x.shape, N, s, e), lambda: self._cp_program(x.shape[0], N, s, e)
-        )
-        return np.asarray(prog(jnp.asarray(x), jnp.asarray(m)))
-
-    def _cp_program(self, F: int, N: int, s: int, e: float) -> Callable:
-        idx = np.arange(F)
-        parity = jnp.asarray(np.stack([
-            np.asarray([(t // s) % (s if s > 1 else 2) == p for t in range(F)])
+        F = x.shape[0]
+        fp = _bucket(F)
+        idx = np.arange(fp)
+        parity = np.stack([
+            np.asarray([(t // s) % (s if s > 1 else 2) == p for t in range(fp)])
             for p in (0, 1)
-        ]))  # (2, F)
-        deltas = (-s, s)
-        valid = [jnp.asarray((idx + d >= 0) & (idx + d < F)) for d in deltas]
-        ref_idx = [jnp.asarray(np.clip(idx + d, 0, F - 1).astype(np.int32))
-                   for d in deltas]
+        ])  # (2, fp)
+        parity[:, F:] = False  # padded frames never refine
+        valid = np.stack([(idx + d >= 0) & (idx + d < F) for d in (-s, s)])
+        ref_idx = np.stack(
+            [np.clip(idx + d, 0, F - 1) for d in (-s, s)]
+        ).astype(np.int32)
+        xp, mp = _pad_frames(x, m, fp)
+        prog = self._program(
+            ("cp", (fp,) + x.shape[1:], N, e), lambda: self._cp_program(fp, N, e)
+        )
+        out = prog(
+            jnp.asarray(xp), jnp.asarray(mp), jnp.asarray(parity),
+            jnp.asarray(valid), jnp.asarray(ref_idx),
+        )
+        return np.asarray(out[:F])
+
+    def _cp_program(self, F: int, N: int, e: float) -> Callable:
+        """``run(x, m, parity (2,F), valid (2,F), ref_idx (2,F))`` — parity
+        classes and the ±s neighbor tables are runtime inputs (one compile
+        per bucket)."""
 
         @jax.jit
-        def run(x, m):
+        def run(x, m, parity, valid, ref_idx):
             def cond(st):
                 i, _, m_inp = st
                 holes = jnp.sum(m_inp, axis=(1, 2, 3))
@@ -337,7 +394,7 @@ class Inpainter:
             def body(st):
                 i, y_inp, m_inp = st
                 par = parity[i % 2]
-                for d_i in range(len(deltas)):
+                for d_i in range(2):
                     holes = jnp.sum(m_inp, axis=(1, 2, 3))
                     active = par & valid[d_i] & (holes > 0)
 

@@ -80,3 +80,15 @@ def test_inpaint_algorithms_fill_holes(rng, algo, inpainter):
     # Fully-visible pixels: ff keeps them exactly (composite passthrough).
     if algo == "ff":
         np.testing.assert_allclose(out[~hole], y[~hole], atol=1e-5)
+
+
+def test_bucketed_programs_are_shared_across_lengths(rng, inpainter):
+    """Sequence lengths in the same bucket reuse ONE compiled program
+    (tables are runtime inputs), and padded results match the host loops."""
+    inpainter._progs.clear()
+    for F in (5, 6, 8):
+        x, m, _ = _sequence(rng, F=F)
+        dev = inpainter.inpaint_ff(x, m)
+        host = inpainter.inpaint_ff_host(x, m)
+        np.testing.assert_allclose(dev, host, atol=1e-6)
+    assert len([k for k in inpainter._progs if k[0] == "ff"]) == 1
