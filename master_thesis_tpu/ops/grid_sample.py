@@ -22,6 +22,8 @@ tiles onto the MXU.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -148,8 +150,8 @@ def grid_sample_mm(
     # tent support doesn't fit the static band, so the result is exact for
     # EVERY grid. Band fit is the common case: regressed affine thetas and
     # DFPN flows are near-identity maps.
-    band = min(h, 64)
-    use_band = band < h
+    bands = [b for b in (max(16, 2 * t), 64) if b < h]
+    bands = sorted(set(bands))
 
     def x_contract(src, wx):
         return jnp.einsum("nyxc,ntxj->ntyjc", src, wx, precision=precision)
@@ -168,28 +170,42 @@ def grid_sample_mm(
             wy = weight(ys[None, None, :, None], gyc[:, :, None, :])  # (N,T,H,W')
             return y_contract(r, wy)
 
-        if not use_band:
+        if not bands:
             return None, dense(None)
 
         gy_min = jnp.min(gyc, axis=(1, 2))  # (N,)
         gy_max = jnp.max(gyc, axis=(1, 2))
-        start = jnp.clip(
-            jnp.floor(gy_min).astype(jnp.int32) - 1, 0, h - band
-        )  # (N,)
         # Highest in-range source row any tap can touch must lie in the band.
         hi_tap = jnp.minimum(jnp.floor(gy_max) + 1.0, float(h - 1))
-        fits = jnp.all(hi_tap <= (start + band - 1).astype(jnp.float32))
 
-        def banded(_):
-            xb = jax.vmap(
-                lambda img, s0: jax.lax.dynamic_slice(img, (s0, 0, 0), (band, w, c))
-            )(xf, start)  # (N, B, W, C)
-            r = x_contract(xb, wx)  # (N,T,B,W',C)
-            ys_b = (start[:, None] + jnp.arange(band)).astype(jnp.float32)
-            wy = weight(ys_b[:, None, :, None], gyc[:, :, None, :])  # (N,T,B,W')
-            return y_contract(r, wy)
+        def banded(band):
+            start = jnp.clip(jnp.floor(gy_min).astype(jnp.int32) - 1, 0, h - band)
 
-        return None, jax.lax.cond(fits, banded, dense, None)
+            def run(_):
+                xb = jax.vmap(
+                    lambda img, s0: jax.lax.dynamic_slice(
+                        img, (s0, 0, 0), (band, w, c)
+                    )
+                )(xf, start)  # (N, B, W, C)
+                r = x_contract(xb, wx)  # (N,T,B,W',C)
+                ys_b = (start[:, None] + jnp.arange(band)).astype(jnp.float32)
+                wy = weight(ys_b[:, None, :, None], gyc[:, :, None, :])
+                return y_contract(r, wy)
+
+            fits = jnp.all(hi_tap <= (start + band - 1).astype(jnp.float32))
+            return fits, run
+
+        # Tiered bands, tightest first; any chunk whose tent support
+        # exceeds every tier falls back to the dense contraction — exact
+        # for every grid, fast for the alignment-like common case.
+        out = dense
+        for b in reversed(bands):
+            fits, run = banded(b)
+            out = functools.partial(
+                lambda fits, run, prev, _: jax.lax.cond(fits, run, prev, None),
+                fits, run, out,
+            )
+        return None, out(None)
 
     _, outs = jax.lax.scan(body, None, (gx_c, gy_c))  # (nch, N, T, W', C)
     out = outs.transpose(1, 0, 2, 3, 4).reshape(n, nch * t, wo, c)
