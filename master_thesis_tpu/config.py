@@ -54,6 +54,9 @@ class Config:
     masks_movement_params: Tuple[float, float, float] = (50, 0.10, 0.20)
     batch_size: int = 8
     num_workers: int = 0
+    # Worker PROCESSES for the data loader (the reference DataLoader
+    # architecture) — threads are GIL-bound in the simulator's numpy warp.
+    loader_processes: bool = False
     train_max_iterations: int = 2000
     validation_max_iterations: int = 200
 
@@ -138,6 +141,7 @@ class Config:
         )
         parser.add_argument("--batch_size", type=int, default=8)
         parser.add_argument("--num_workers", type=int, default=0)
+        parser.add_argument("--loader_processes", default=False, **boolean)
         parser.add_argument("--train_max_iterations", type=int, default=2000)
         parser.add_argument("--validation_max_iterations", type=int, default=200)
         parser.add_argument("--lr", type=float, default=1e-4)

@@ -344,13 +344,29 @@ class InpaintingDataset:
         )
 
 
-class Loader:
-    """Thread-prefetching batch loader.
+_WORKER_LOADER: Optional["Loader"] = None
 
-    Produces dict batches of stacked numpy arrays; a background thread pool
-    keeps ``prefetch`` batches ready so the accelerator never waits on
-    decode (the reference relies on torch DataLoader worker processes for
-    this; threads suffice here because cv2/numpy release the GIL).
+
+def _init_worker_loader(loader: "Loader") -> None:
+    global _WORKER_LOADER
+    _WORKER_LOADER = loader
+
+
+def _worker_make_batch(epoch: int, batch_idx: int):
+    return _WORKER_LOADER._make_batch(batch_idx, epoch=epoch)
+
+
+class Loader:
+    """Prefetching batch loader (threads or worker processes).
+
+    Produces dict batches of stacked numpy arrays; a background pool keeps
+    ``prefetch`` batches ready so the accelerator never waits on decode.
+    ``use_processes=True`` forks worker processes — the reference's torch
+    ``DataLoader(num_workers=...)`` architecture — which is what actually
+    scales on a many-core host: the simulator's numpy warp and the fancy-
+    index gathers hold the GIL, so threads cap near one core. Batches are
+    deterministic functions of ``(seed, epoch, item)`` (explicit RandomState
+    streams), so thread and process modes produce identical data.
     """
 
     def __init__(
@@ -361,6 +377,7 @@ class Loader:
         num_workers: int = 4,
         prefetch: int = 2,
         drop_last: bool = True,
+        use_processes: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -368,18 +385,21 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.use_processes = use_processes
         self.epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _make_batch(self, batch_idx: int) -> Dict[str, np.ndarray]:
+    def _make_batch(self, batch_idx: int, epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
+        if epoch is None:
+            epoch = self.epoch
         items = []
         for j in range(self.batch_size):
             item = batch_idx * self.batch_size + j
             rng = np.random.RandomState(
-                (self.seed * 1_000_003 + self.epoch * 7_919 + item) % (2**31 - 1)
+                (self.seed * 1_000_003 + epoch * 7_919 + item) % (2**31 - 1)
             )
             items.append(self.dataset.get_item(item, rng))
         xs = np.stack([it[0][0] for it in items])
@@ -405,19 +425,47 @@ class Loader:
             self.epoch += 1
             return
 
-        from concurrent.futures import ThreadPoolExecutor
+        epoch = self.epoch
+        if self.use_processes:
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            # fork (not spawn): children inherit the dataset without
+            # re-importing — on this machine a spawned interpreter would
+            # re-run the TPU-plugin sitecustomize and serialize on the
+            # relay. Workers never touch jax (host numpy/cv2 only).
+            pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=_init_worker_loader,
+                initargs=(self,),
+            )
+            submit = lambda b: pool.submit(_worker_make_batch, epoch, b)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            submit = lambda b: pool.submit(self._make_batch, b, epoch)
+
+        try:
             pending = []
             next_submit = 0
             window = self.num_workers + self.prefetch
             while next_submit < min(window, n_batches):
-                pending.append(pool.submit(self._make_batch, next_submit))
+                pending.append(submit(next_submit))
                 next_submit += 1
             while pending:
                 fut = pending.pop(0)
                 if next_submit < n_batches:
-                    pending.append(pool.submit(self._make_batch, next_submit))
+                    pending.append(submit(next_submit))
                     next_submit += 1
                 yield fut.result()
+        finally:
+            # Runs on normal exhaustion AND when the consumer abandons the
+            # generator (GeneratorExit) — no executor leak, no teardown
+            # noise at interpreter shutdown.
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                pass
         self.epoch += 1

@@ -148,10 +148,10 @@ def affine_grid_np(
         xs = (np.arange(w) * 2 + 1) / w - 1.0
         ys = (np.arange(h) * 2 + 1) / h - 1.0
     gx, gy = np.meshgrid(xs, ys)
-    base = np.stack([gx, gy, np.ones_like(gx)], axis=-1)  # (H, W, 3)
-    return np.einsum("nij,hwj->nhwi", theta.astype(np.float64), base).astype(
-        np.float32
-    )
+    t = theta.astype(np.float64)
+    out_x = t[:, None, None, 0, 0] * gx + t[:, None, None, 0, 1] * gy + t[:, None, None, 0, 2]
+    out_y = t[:, None, None, 1, 0] * gx + t[:, None, None, 1, 1] * gy + t[:, None, None, 1, 2]
+    return np.stack([out_x, out_y], axis=-1).astype(np.float32)
 
 
 def identity_grid_np(h: int, w: int) -> np.ndarray:
@@ -190,23 +190,34 @@ def grid_sample_bilinear_np(
         fx = ((gx + 1) * w - 1) * 0.5
         fy = ((gy + 1) * h - 1) * 0.5
 
+    # Coordinates in f64 (cheap, (N,H',W')-sized); VALUE math in f32 —
+    # matching torch's CPU grid_sample, which lerps in the input dtype.
+    # This is the data-worker hot loop (the movement simulator warps a
+    # >=2x-train-size background per simulated item, dataset.py:589-594),
+    # so taps gather via flat take_along_axis and out-of-bounds taps are
+    # dropped by zeroing their *interpolation weight* — no per-tap
+    # full-size np.where temporaries.
     x0 = np.floor(fx).astype(np.int64)
     y0 = np.floor(fy).astype(np.int64)
-    wx = (fx - x0)[..., None]
-    wy = (fy - y0)[..., None]
+    wx = (fx - x0).astype(np.float32)
+    wy = (fy - y0).astype(np.float32)
 
-    def gather(iy, ix):
-        valid = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
-        iy_c = np.clip(iy, 0, h - 1)
-        ix_c = np.clip(ix, 0, w - 1)
-        batch = np.arange(n).reshape(n, 1, 1)
-        vals = x[batch, iy_c, ix_c]  # (N, H', W', C)
-        return np.where(valid[..., None], vals, 0.0)
+    x_flat = np.ascontiguousarray(x.reshape(n, h * w, c))
 
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x0 + 1)
-    v10 = gather(y0 + 1, x0)
-    v11 = gather(y0 + 1, x0 + 1)
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
-    return (top * (1 - wy) + bot * wy).astype(x.dtype)
+    def take(iy, ix):
+        valid = ((iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)).astype(np.float32)
+        idx = np.clip(iy, 0, h - 1) * w + np.clip(ix, 0, w - 1)
+        vals = np.take_along_axis(x_flat, idx.reshape(n, -1, 1), axis=1)
+        return vals.reshape(iy.shape + (c,)), valid
+
+    v00, m00 = take(y0, x0)
+    v01, m01 = take(y0, x0 + 1)
+    v10, m10 = take(y0 + 1, x0)
+    v11, m11 = take(y0 + 1, x0 + 1)
+    out = (
+        v00 * (((1 - wx) * (1 - wy)) * m00)[..., None]
+        + v01 * ((wx * (1 - wy)) * m01)[..., None]
+        + v10 * (((1 - wx) * wy) * m10)[..., None]
+        + v11 * ((wx * wy) * m11)[..., None]
+    )
+    return out.astype(x.dtype)

@@ -177,7 +177,8 @@ def build_loaders(cfg, metas, splits=("train", "validation")):
         )
         ds = InpaintingDataset(bgs, masks, "train", cfg)
         loaders["train"] = Loader(
-            ds, cfg.batch_size, seed=cfg.seed, num_workers=max(1, cfg.num_workers)
+            ds, cfg.batch_size, seed=cfg.seed, num_workers=max(1, cfg.num_workers),
+            use_processes=getattr(cfg, "loader_processes", False),
         )
     if "validation" in splits:
         bgs = ContentProvider(
@@ -187,7 +188,9 @@ def build_loaders(cfg, metas, splits=("train", "validation")):
         masks = ContentProvider(val_masks, cfg.data_path, frames_spacing=cfg.frames_spacing)
         ds = InpaintingDataset(bgs, masks, "validation", cfg)
         loaders["validation"] = Loader(
-            ds, cfg.batch_size, seed=cfg.seed + 1, num_workers=max(1, cfg.num_workers)
+            ds, cfg.batch_size, seed=cfg.seed + 1,
+            num_workers=max(1, cfg.num_workers),
+            use_processes=getattr(cfg, "loader_processes", False),
         )
     if "test" in splits:
         bgs = ContentProvider(test_meta, cfg.data_path)

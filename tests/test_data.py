@@ -104,6 +104,25 @@ def test_loader_batches_and_reproducibility(cfg):
     assert ba["flows_use"].dtype == np.bool_
 
 
+def test_loader_process_workers_match_threads(cfg):
+    """Fork-based worker processes (the reference DataLoader architecture)
+    produce byte-identical batches to threads: batches are deterministic in
+    (seed, epoch, item), independent of who computes them. Also exercises
+    abandoning the iterator (no executor leak)."""
+    metas = meta_mod.prepare_data(cfg)
+    bgs = ContentProvider(metas[0], cfg.data_path)
+    masks = ContentProvider(metas[1], cfg.data_path)
+    ds = InpaintingDataset(bgs, masks, "train", cfg)
+    thr = Loader(ds, cfg.batch_size, seed=7, num_workers=2)
+    prc = Loader(ds, cfg.batch_size, seed=7, num_workers=2, use_processes=True)
+    bt = next(iter(thr))
+    it = iter(prc)
+    bp = next(it)
+    del it  # abandon mid-epoch: finally-shutdown must not raise
+    for k in ("x", "m", "y", "flow_gt", "m_movement"):
+        np.testing.assert_array_equal(bt[k], bp[k])
+
+
 def test_full_sequence_mode(cfg):
     metas = meta_mod.prepare_data(cfg)
     test_cfg = cfg.replace(frames_n=-1, batch_size=1, test_size=(48, 64))
