@@ -344,6 +344,10 @@ class InpaintingDataset:
         )
 
 
+import contextlib
+
+_NULL_CTX = contextlib.nullcontext()
+
 _WORKER_LOADER: Optional["Loader"] = None
 
 
@@ -354,6 +358,47 @@ def _init_worker_loader(loader: "Loader") -> None:
 
 def _worker_make_batch(epoch: int, batch_idx: int):
     return _WORKER_LOADER._make_batch(batch_idx, epoch=epoch)
+
+
+class _spawn_env:
+    """Environment overrides active while worker processes spawn.
+
+    Spawned interpreters re-run this machine's sitecustomize, which would
+    initialize the remote-TPU plugin in every worker (serializing on the
+    relay and defeating the point); forking instead is unsafe — the parent
+    typically has live PJRT/grpc threads, and a fork while one of their
+    locks is held deadlocks the child. So: spawn, with the TPU-plugin
+    gate variable removed and CPU jax forced for the children (workers
+    are host-side numpy/cv2 only; jax only gets imported transitively).
+    """
+
+    def __init__(self):
+        import master_thesis_tpu
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(master_thesis_tpu.__file__)))
+        paths = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
+        if repo not in paths:
+            paths.insert(0, repo)
+        self.overrides = {
+            "PALLAS_AXON_POOL_IPS": None,
+            "JAX_PLATFORMS": "cpu",
+            "PYTHONPATH": os.pathsep.join(paths),
+        }
+
+    def __enter__(self):
+        self.old = {k: os.environ.get(k) for k in self.overrides}
+        for k, v in self.overrides.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+    def __exit__(self, *exc):
+        for k, v in self.old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 class Loader:
@@ -392,6 +437,13 @@ class Loader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def __getstate__(self):
+        # Workers receive the loader via the pool initializer; the pool
+        # itself (and anything else unpicklable) must not ride along.
+        d = dict(self.__dict__)
+        d.pop("_pool", None)
+        return d
+
     def _make_batch(self, batch_idx: int, epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
         if epoch is None:
             epoch = self.epoch
@@ -419,7 +471,10 @@ class Loader:
 
     def __iter__(self):
         n_batches = len(self)
-        if self.num_workers <= 1:
+        # Even ONE worker process offloads the GIL-bound item assembly, so
+        # use_processes always takes the pool path; only the pure
+        # single-threaded configuration short-circuits.
+        if self.num_workers <= 1 and not self.use_processes:
             for b in range(n_batches):
                 yield self._make_batch(b)
             self.epoch += 1
@@ -427,19 +482,7 @@ class Loader:
 
         epoch = self.epoch
         if self.use_processes:
-            import multiprocessing
-            from concurrent.futures import ProcessPoolExecutor
-
-            # fork (not spawn): children inherit the dataset without
-            # re-importing — on this machine a spawned interpreter would
-            # re-run the TPU-plugin sitecustomize and serialize on the
-            # relay. Workers never touch jax (host numpy/cv2 only).
-            pool = ProcessPoolExecutor(
-                max_workers=self.num_workers,
-                mp_context=multiprocessing.get_context("fork"),
-                initializer=_init_worker_loader,
-                initargs=(self,),
-            )
+            pool = self._process_pool()
             submit = lambda b: pool.submit(_worker_make_batch, epoch, b)
         else:
             from concurrent.futures import ThreadPoolExecutor
@@ -451,9 +494,13 @@ class Loader:
             pending = []
             next_submit = 0
             window = self.num_workers + self.prefetch
-            while next_submit < min(window, n_batches):
-                pending.append(submit(next_submit))
-                next_submit += 1
+            with _spawn_env() if self.use_processes else _NULL_CTX:
+                # The initial submit window spawns every worker while the
+                # scrubbed environment is active (the pool creates worker
+                # processes on submit, up to max_workers).
+                while next_submit < min(window, n_batches):
+                    pending.append(submit(next_submit))
+                    next_submit += 1
             while pending:
                 fut = pending.pop(0)
                 if next_submit < n_batches:
@@ -462,10 +509,43 @@ class Loader:
                 yield fut.result()
         finally:
             # Runs on normal exhaustion AND when the consumer abandons the
-            # generator (GeneratorExit) — no executor leak, no teardown
-            # noise at interpreter shutdown.
+            # generator (GeneratorExit). Thread pools are cheap and get
+            # torn down; the process pool persists across epochs (worker
+            # startup re-imports the world) and is closed by close()/GC.
+            if not self.use_processes:
+                try:
+                    pool.shutdown(wait=False, cancel_futures=True)
+                except Exception:
+                    pass
+        self.epoch += 1
+
+    def _process_pool(self):
+        pool = getattr(self, "_pool", None)
+        if pool is None:
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+
+            with _spawn_env():
+                pool = ProcessPoolExecutor(
+                    max_workers=self.num_workers,
+                    mp_context=multiprocessing.get_context("spawn"),
+                    initializer=_init_worker_loader,
+                    initargs=(self,),
+                )
+            self._pool = pool
+        return pool
+
+    def close(self) -> None:
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            self._pool = None
             try:
                 pool.shutdown(wait=False, cancel_futures=True)
             except Exception:
                 pass
-        self.epoch += 1
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -162,39 +162,62 @@ class Inpainter:
         ref_idx = np.stack(
             [np.clip(idx + o, 0, F - 1) for o in offsets]
         ).astype(np.int32)
+        # Suffix-any of valid: the loop may end only when no UNFINISHED
+        # frame has a candidate in any remaining round — a single empty
+        # round must not end the sweep (each frame owns an independent
+        # compacted candidate list in the reference, model_chn.py:460-482).
+        valid_ahead = np.flip(np.logical_or.accumulate(np.flip(valid, 0), 0), 0)
         xp, mp = _pad_frames(x, m, fp)
         prog = self._program(
             ("ff", (fp,) + x.shape[1:], len(offsets), e),
             lambda: self._ff_program(fp, len(offsets), e),
         )
         out = prog(
-            jnp.asarray(xp), jnp.asarray(mp), jnp.asarray(valid), jnp.asarray(ref_idx)
+            jnp.asarray(xp), jnp.asarray(mp), jnp.asarray(valid),
+            jnp.asarray(valid_ahead), jnp.asarray(ref_idx),
         )
         return np.asarray(out[:F])
 
     def _ff_program(self, F: int, n_rounds: int, e: float) -> Callable:
-        """``run(x, m, valid (R,F) bool, ref_idx (R,F) i32)``. The round
-        tables are runtime inputs, so one compile per (padded-F, H, W)
-        bucket serves every real sequence length and offset schedule."""
+        """``run(x, m, valid (R,F) bool, valid_ahead (R,F) bool,
+        ref_idx (R,F) i32)``. The round tables are runtime inputs, so one
+        compile per (padded-F, H, W) bucket serves every real sequence
+        length and offset schedule."""
 
         @jax.jit
-        def run(x, m, valid, ref_idx):
+        def run(x, m, valid, valid_ahead, ref_idx):
+            def unfinished(have, hole):
+                return ~have | (hole > e)
+
             def actives(k, have, hole):
-                return valid[jnp.minimum(k, n_rounds - 1)] & (~have | (hole > e))
+                return valid[jnp.minimum(k, n_rounds - 1)] & unfinished(have, hole)
 
             def cond(st):
                 k, _, _, _, have, hole = st
-                return (k < n_rounds) & jnp.any(actives(k, have, hole))
+                ahead = valid_ahead[jnp.minimum(k, n_rounds - 1)]
+                return (k < n_rounds) & jnp.any(ahead & unfinished(have, hole))
 
             def body(st):
                 k, x_tgt, m_tgt, y_out, have, hole = st
                 active = actives(k, have, hole)
-                # ff aligns against the *original* frames, not inpainted
-                # ones (reference :115-119 samples x, m — the raw sequence).
-                x_tgt, m_tgt, comp, hole = self._refine_impl(
-                    x_tgt, m_tgt, x[ref_idx[k]], m[ref_idx[k]], active
+
+                def refine(args):
+                    x_tgt, m_tgt, y_out, hole = args
+                    # ff aligns against the *original* frames, not
+                    # inpainted ones (reference :115-119 samples x, m —
+                    # the raw sequence).
+                    x_tgt, m_tgt, comp, hole = self._refine_impl(
+                        x_tgt, m_tgt, x[ref_idx[k]], m[ref_idx[k]], active
+                    )
+                    y_out = jnp.where(active[:, None, None, None], comp, y_out)
+                    return x_tgt, m_tgt, y_out, hole
+
+                # A round with an empty active set is skipped (the sweep
+                # continues: later rounds may still serve other frames).
+                x_tgt, m_tgt, y_out, hole = jax.lax.cond(
+                    jnp.any(active), refine, lambda a: a,
+                    (x_tgt, m_tgt, y_out, hole),
                 )
-                y_out = jnp.where(active[:, None, None, None], comp, y_out)
                 return (k + 1, x_tgt, m_tgt, y_out, have | active, hole)
 
             init = (
@@ -221,12 +244,19 @@ class Inpainter:
             offsets += [-d, d]
 
         idx = np.arange(F)
-        for off in offsets:
+        valid_all = np.stack([(idx + o >= 0) & (idx + o < F) for o in offsets])
+        valid_ahead = np.flip(np.logical_or.accumulate(np.flip(valid_all, 0), 0), 0)
+        for k, off in enumerate(offsets):
             ref_idx = idx + off
-            valid = (ref_idx >= 0) & (ref_idx < F)
-            active = valid & (~have_comp | (hole > e))
-            if not active.any():
+            unfinished = ~have_comp | (hole > e)
+            # End only when no unfinished frame has a candidate in ANY
+            # remaining round (each frame's candidate list is independent,
+            # reference model_chn.py:460-482); skip an empty round.
+            if not (valid_ahead[k] & unfinished).any():
                 break
+            active = valid_all[k] & unfinished
+            if not active.any():
+                continue
             ref_idx_c = jnp.asarray(np.clip(ref_idx, 0, F - 1))
             x_tgt, m_tgt, comp, hole_dev = self._refine(
                 x_tgt, m_tgt, x_dev[ref_idx_c], m_dev[ref_idx_c], jnp.asarray(active)

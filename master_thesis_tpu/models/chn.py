@@ -147,19 +147,27 @@ def _conv_nhwc(x, kernel, bias=None, stride=1, pad=1, dtype=jnp.float32):
 _HEAD_STRIDES = (1, 1, 2, 1, 2)
 
 
-def rrdbnet_head_forward(params, x, dtype):
-    """The RRDBNet head (5 bare convs, reference model_chn.py:522-528),
-    computed as a composed 15x15 stride-4 conv + exact border strips.
+def _head_scaffold(params, shape_hw, dtype):
+    """Shared machinery of the composed head: the 5-layer nested runner,
+    the composed 15x15 stride-4 kernel, and the border-band applier.
 
     The head has no activations, so it is one linear map: the bias-free
-    kernels compose into a single conv (nn_ext.compose_conv_kernels) and the
-    biases' exact contribution — including their zero-padding border
+    kernels compose into a single conv (nn_ext.compose_conv_kernels) and
+    the biases' exact contribution — including their zero-padding border
     structure — is the head's zero-input response. The nested head's
     per-layer zero padding truncates intermediate borders, so composed !=
     nested within a 2-row/col output band; that band is recomputed exactly
-    from 16-row/col input strips (strip row r aligns with full-image output
-    row r; 16 input rows give 4 output rows of which the first 2 are
-    divergence-free).
+    from 16-row/col input strips (strip row r aligns with full-image
+    output row r; 16 input rows give 4 output rows of which the first 2
+    are divergence-free).
+
+    Returns ``(run_nested, finish, degenerate)``: ``run_nested(inp)``
+    applies the 5 convs layer-by-layer; when ``degenerate`` (output too
+    small / odd sizes) the caller must return ``run_nested`` of its full
+    input; otherwise ``finish(apply_composed, strip)`` takes a function
+    applying the composed kernel (sliced however the caller likes) and an
+    input-strip builder, and assembles interior + zero response + exact
+    border bands.
     """
     from master_thesis_tpu.models.nn_ext import compose_conv_kernels
 
@@ -168,29 +176,44 @@ def rrdbnet_head_forward(params, x, dtype):
         for i in range(5)
     ]
 
-    def run_head_exact(inp):
+    def run_nested(inp):
         h = inp
         for (wk, bk), s in zip(head, _HEAD_STRIDES):
             h = _conv_nhwc(h, wk, bk, stride=s, dtype=dtype)
         return h
 
-    hh, ww = x.shape[1], x.shape[2]
+    hh, ww = shape_hw
     h_out, w_out = (hh + 14 - 15) // 4 + 1, (ww + 14 - 15) // 4 + 1
-    if h_out <= 4 or w_out <= 4 or hh % 4 or ww % 4:
-        # Small/odd inputs: the whole output is border band — run nested.
-        return run_head_exact(x)
+    degenerate = h_out <= 4 or w_out <= 4 or hh % 4 or ww % 4
+    in_ch = head[0][0].shape[2]
 
-    w_eff = head[0][0]
-    for (wk, _), s_prev in zip(head[1:], np.cumprod(_HEAD_STRIDES)[:-1]):
-        w_eff = compose_conv_kernels(w_eff, int(s_prev), wk)
-    y = _conv_nhwc(x, w_eff, stride=4, pad=7, dtype=dtype)
-    y = y + run_head_exact(jnp.zeros_like(x[:1]))
-    top = run_head_exact(x[:, :16])[:, :2]
-    bot = run_head_exact(x[:, -16:])[:, -2:]
-    y = y.at[:, :2].set(top).at[:, -2:].set(bot)
-    lef = run_head_exact(x[:, :, :16])[:, :, :2]
-    rig = run_head_exact(x[:, :, -16:])[:, :, -2:]
-    return y.at[:, :, :2].set(lef).at[:, :, -2:].set(rig)
+    def finish(apply_composed, strip):
+        w_eff = head[0][0]
+        for (wk, _), s_prev in zip(head[1:], np.cumprod(_HEAD_STRIDES)[:-1]):
+            w_eff = compose_conv_kernels(w_eff, int(s_prev), wk)
+        y = apply_composed(w_eff)
+        y = y + run_nested(jnp.zeros((1, hh, ww, in_ch), y.dtype))
+        top = run_nested(strip(slice(0, 16), slice(None)))[:, :2]
+        bot = run_nested(strip(slice(-16, None), slice(None)))[:, -2:]
+        y = y.at[:, :2].set(top).at[:, -2:].set(bot)
+        lef = run_nested(strip(slice(None), slice(0, 16)))[:, :, :2]
+        rig = run_nested(strip(slice(None), slice(-16, None)))[:, :, -2:]
+        return y.at[:, :, :2].set(lef).at[:, :, -2:].set(rig)
+
+    return run_nested, finish, degenerate
+
+
+def rrdbnet_head_forward(params, x, dtype):
+    """The RRDBNet head (5 bare convs, reference model_chn.py:522-528) as
+    one composed 15x15 stride-4 conv + exact border strips (see
+    :func:`_head_scaffold`)."""
+    run_nested, finish, degenerate = _head_scaffold(params, x.shape[1:3], dtype)
+    if degenerate:
+        return run_nested(x)
+    return finish(
+        lambda w_eff: _conv_nhwc(x, w_eff, stride=4, pad=7, dtype=dtype),
+        lambda sl_h, sl_w: x[:, sl_h, sl_w],
+    )
 
 
 def chn_head_grouped(params, x_t_n, v_t, x_r_n, v_r, v_m, dtype):
@@ -204,7 +227,7 @@ def chn_head_grouped(params, x_t_n, v_t, x_r_n, v_r, v_m, dtype):
     their head contribution is computed once per *target* and broadcast —
     at F=5 that cuts composed-head FLOPs ~36% and never materializes the
     ``(B*F, H, W, 9)`` concat. Border bands are recomputed exactly from
-    narrow 9-channel strips as in :func:`rrdbnet_head_forward`.
+    narrow 9-channel strips (shared machinery: :func:`_head_scaffold`).
 
     Args:
         x_t_n: ``(B, H, W, 3)`` ImageNet-normalized target.
@@ -216,19 +239,8 @@ def chn_head_grouped(params, x_t_n, v_t, x_r_n, v_r, v_m, dtype):
         ``(B*F, H/4, W/4, nf)`` — identical to running the head on the
         9-channel concat.
     """
-    from master_thesis_tpu.models.nn_ext import compose_conv_kernels
-
     b, f, hh, ww, _ = x_r_n.shape
-    head = [
-        (params[f"conv_first_{i}_kernel"], params[f"conv_first_{i}_bias"])
-        for i in range(5)
-    ]
-
-    def run_head_exact(inp):
-        h = inp
-        for (wk, bk), s in zip(head, _HEAD_STRIDES):
-            h = _conv_nhwc(h, wk, bk, stride=s, dtype=dtype)
-        return h
+    run_nested, finish, degenerate = _head_scaffold(params, (hh, ww), dtype)
 
     def strip9(sl_h, sl_w):
         """9-channel concat of an input strip, channel order
@@ -241,33 +253,25 @@ def chn_head_grouped(params, x_t_n, v_t, x_r_n, v_r, v_m, dtype):
         )
         return cat.reshape((b * f,) + cat.shape[2:])
 
-    h_out, w_out = (hh + 14 - 15) // 4 + 1, (ww + 14 - 15) // 4 + 1
-    if h_out <= 4 or w_out <= 4 or hh % 4 or ww % 4:
-        return run_head_exact(strip9(slice(None), slice(None)))
+    if degenerate:
+        return run_nested(strip9(slice(None), slice(None)))
 
-    w_eff = head[0][0]
-    for (wk, _), s_prev in zip(head[1:], np.cumprod(_HEAD_STRIDES)[:-1]):
-        w_eff = compose_conv_kernels(w_eff, int(s_prev), wk)
-    w_tgt = w_eff[:, :, (0, 1, 2, 6), :]  # x_t (3) + v_t
-    w_ref = w_eff[:, :, (3, 4, 5, 7, 8), :]  # x_ref (3) + v_ref + v_map
+    def apply_composed(w_eff):
+        w_tgt = w_eff[:, :, (0, 1, 2, 6), :]  # x_t (3) + v_t
+        w_ref = w_eff[:, :, (3, 4, 5, 7, 8), :]  # x_ref (3) + v_ref + v_map
+        y_t = _conv_nhwc(
+            jnp.concatenate([x_t_n, v_t], axis=-1), w_tgt, stride=4, pad=7,
+            dtype=dtype,
+        )  # (B, H/4, W/4, nf) — once per target
+        ref_in = jnp.concatenate([x_r_n, v_r, v_m], axis=-1)
+        y_r = _conv_nhwc(
+            ref_in.reshape(b * f, hh, ww, 5), w_ref, stride=4, pad=7, dtype=dtype
+        )
+        return y_r + jnp.broadcast_to(
+            y_t[:, None], (b, f) + y_t.shape[1:]
+        ).reshape(y_r.shape)
 
-    y_t = _conv_nhwc(
-        jnp.concatenate([x_t_n, v_t], axis=-1), w_tgt, stride=4, pad=7, dtype=dtype
-    )  # (B, H/4, W/4, nf) — once per target
-    ref_in = jnp.concatenate([x_r_n, v_r, v_m], axis=-1)
-    y_r = _conv_nhwc(
-        ref_in.reshape(b * f, hh, ww, 5), w_ref, stride=4, pad=7, dtype=dtype
-    )
-    y = y_r + jnp.broadcast_to(
-        y_t[:, None], (b, f) + y_t.shape[1:]
-    ).reshape(y_r.shape)
-    y = y + run_head_exact(jnp.zeros((1, hh, ww, 9), y.dtype))
-    top = run_head_exact(strip9(slice(0, 16), slice(None)))[:, :2]
-    bot = run_head_exact(strip9(slice(-16, None), slice(None)))[:, -2:]
-    y = y.at[:, :2].set(top).at[:, -2:].set(bot)
-    lef = run_head_exact(strip9(slice(None), slice(0, 16)))[:, :, :2]
-    rig = run_head_exact(strip9(slice(None), slice(-16, None)))[:, :, -2:]
-    return y.at[:, :, :2].set(lef).at[:, :, -2:].set(rig)
+    return finish(apply_composed, strip9)
 
 
 def rrdbnet_tail_forward(params, y, dtype):

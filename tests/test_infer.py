@@ -92,3 +92,40 @@ def test_bucketed_programs_are_shared_across_lengths(rng, inpainter):
         host = inpainter.inpaint_ff_host(x, m)
         np.testing.assert_allclose(dev, host, atol=1e-6)
     assert len([k for k in inpainter._progs if k[0] == "ff"]) == 1
+
+
+def test_ff_frames_consume_their_own_candidate_lists(rng, inpainter):
+    """An empty round must not end the ff sweep: frame 0 still needs its
+    +2 candidate after the -2 round has no active targets (the reference
+    gives every frame an independent compacted candidate list,
+    model_chn.py:460-482). Asserts both twins against a literal
+    per-frame reference loop."""
+    import jax.numpy as jnp
+
+    F, h, w = 3, 24, 24
+    y = rng.rand(F, h, w, 3).astype(np.float32)
+    m = np.zeros((F, h, w, 1), np.float32)
+    m[0, 8:12, 8:12] = 1   # frame 0: hole A
+    m[1, 6:14, 6:14] = 1   # frame 1: hole B covers A -> +1 can't finish 0
+    x = (1 - m) * y + m * np.asarray([0.485, 0.456, 0.406], np.float32)
+    e = 1.0
+
+    # Literal reference loop: per frame, consume its own candidate list.
+    ref_out = np.array(x, copy=True)
+    for t in range(F):
+        x_t = jnp.asarray(x[t : t + 1])
+        m_t = jnp.asarray(m[t : t + 1])
+        comp, hole = None, np.inf
+        cands = get_indexes_ff(t, F, 1, 20)
+        while (cands and hole > e) or comp is None:
+            r = cands.pop(0)
+            x_t, m_t, comp_d, hole_d = inpainter._refine(
+                x_t, m_t, jnp.asarray(x[r : r + 1]), jnp.asarray(m[r : r + 1]),
+                jnp.ones((1,), bool),
+            )
+            comp = np.asarray(comp_d)[0]
+            hole = float(np.asarray(hole_d)[0])
+        ref_out[t] = comp
+
+    for impl in (inpainter.inpaint_ff, inpainter.inpaint_ff_host):
+        np.testing.assert_allclose(impl(x, m), ref_out, atol=1e-6)
