@@ -182,9 +182,10 @@ def grid_sample_mm(
             start = jnp.clip(jnp.floor(gy_min).astype(jnp.int32) - 1, 0, h - band)
 
             def run(_):
+                zero = jnp.zeros((), start.dtype)  # match s0 under jax_enable_x64
                 xb = jax.vmap(
                     lambda img, s0: jax.lax.dynamic_slice(
-                        img, (s0, 0, 0), (band, w, c)
+                        img, (s0, zero, zero), (band, w, c)
                     )
                 )(xf, start)  # (N, B, W, C)
                 r = x_contract(xb, wx)  # (N,T,B,W',C)
