@@ -191,6 +191,8 @@ def run_chn_test(cfg):
     from master_thesis_tpu.infer.video import write_video
     from master_thesis_tpu.ops import measures
     from master_thesis_tpu.train import build as build_mod
+    from master_thesis_tpu.train.checkpoint import next_version_dir
+    from master_thesis_tpu.train.logging import Logger
 
     metas = meta_mod.prepare_data(cfg)
     loaders = build_mod.build_loaders(cfg, metas, splits=("test",))
@@ -213,8 +215,11 @@ def run_chn_test(cfg):
             out["lpips"] = lpips_fn(y_hat, y)
         return out
 
+    # Per-sequence + aggregate metrics land in TensorBoard like the
+    # reference's Lightning test logger (model_chn.py:408-422).
+    logger = Logger(next_version_dir(cfg.default_root_dir))
     agg = {}
-    for batch in loaders["test"]:
+    for seq_i, batch in enumerate(loaders["test"]):
         x, m, y = batch["x"][0], batch["m"][0], batch["y"][0]
         name = batch["names"][0]
         for algo in ("ff", "ip", "cp"):
@@ -223,10 +228,13 @@ def run_chn_test(cfg):
                 jnp.asarray(y_hat), jnp.asarray(y)).items()}
             for k, v in q.items():
                 agg.setdefault(f"{algo}/{k}", []).append(v)
+            logger.log_scalars(q, seq_i, prefix=f"test/{algo}/measures_")
             path = write_video(y_hat, f"{name}_{algo}")
             print(f"wrote {path} " + " ".join(f"{k}={v:.4f}" for k, v in q.items()))
     for k, v in sorted(agg.items()):
+        logger.log_scalars({f"test/{k}_mean": float(np.mean(v))}, 0)
         print(f"test/{k}: {np.mean(v):.5f}")
+    logger.flush()
 
 
 def main(argv=None):

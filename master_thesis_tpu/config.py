@@ -87,8 +87,9 @@ class Config:
     # --- TPU-native knobs (new; no reference equivalent) ---
     chn_nb: int = 20  # RRDB block count (reference fixes 20, model_chn.py:31)
     chn_remat: bool = False  # rematerialize RRDB blocks in training
+    # Params are always float32 (converters emit f32; optimizer state f32);
+    # only the conv compute dtype is configurable.
     compute_dtype: str = "bfloat16"  # dtype for conv compute inside models
-    param_dtype: str = "float32"
     mesh_data: int = -1  # -1 = all devices on the data axis
     mesh_model: int = 1
     donate_buffers: bool = True
@@ -164,7 +165,6 @@ class Config:
         parser.add_argument("--vgg_checkpoint")
         parser.add_argument("--lpips_checkpoint")
         parser.add_argument("--compute_dtype", default="bfloat16")
-        parser.add_argument("--param_dtype", default="float32")
         parser.add_argument("--mesh_data", type=int, default=-1)
         parser.add_argument("--mesh_model", type=int, default=1)
         parser.add_argument("--donate_buffers", default=True, **boolean)

@@ -87,17 +87,19 @@ def forward_and_loss(
         params, x_t, m_t, x_r, m_r, feats_t, feats_r
     )
 
-    # Multi-resolution pyramids (reference model_dfpn.py:350-356).
+    # Multi-resolution pyramids (reference model_dfpn.py:350-356). The
+    # 16-resolution image pyramid and its warp exist in the reference
+    # (model_dfpn.py:350, :377-379) but feed no loss — skipped here along
+    # with the GT warps (see module docstring); only ``flow_16_gt`` from the
+    # 16 tier is consumed.
     s16, s64 = base_size // 16, base_size // 4
-    x_16, v_16, y_16 = transforms.resize_set(x, 1 - m, y, s16)
-    x_64, v_64, y_64 = transforms.resize_set(x, 1 - m, y, s64)
+    x_64, v_64, _ = transforms.resize_set(x, 1 - m, y, s64)
     x_256, v_256, y_256 = x, 1 - m, y
 
     flow_16_gt = flows_ops.resize_flow(flow_gt[:, r_list], (s16, s16))
     flow_64_gt = flows_ops.resize_flow(flow_gt[:, r_list], (s64, s64))
     flow_256_gt = flow_gt[:, r_list]
 
-    x_16_al, _ = flows_ops.align_set(x_16[:, r_list], v_16[:, r_list], flow_16)
     x_64_al, _ = flows_ops.align_set(x_64[:, r_list], v_64[:, r_list], flow_64)
     x_256_al, _ = flows_ops.align_set(x_256[:, r_list], v_256[:, r_list], flow_256)
 

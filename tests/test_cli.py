@@ -14,14 +14,14 @@ from tests.fixtures import make_fake_data_root
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_cli(args, timeout=900):
+def _run_cli(args, timeout=900, cwd=_REPO):
     env = dict(os.environ)
     env["PYTHONPATH"] = _REPO
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     out = subprocess.run(
         [sys.executable, "-m", "master_thesis_tpu", *args],
-        env=env, capture_output=True, text=True, timeout=timeout, cwd=_REPO,
+        env=env, capture_output=True, text=True, timeout=timeout, cwd=cwd,
     )
     assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
     return out.stdout
@@ -61,3 +61,41 @@ def test_cli_chn_train_and_resume(data_root, tmp_path):
     assert any(os.path.basename(p) == "4" for p in ckpts2), ckpts2
     # A full restart (no resume) would have saved a step-2 checkpoint here.
     assert not any(os.path.basename(p) == "2" for p in ckpts2)
+
+
+def test_cli_chn_test_mode(data_root, tmp_path):
+    """The fourth run mode (reference __main__.py:43): full-video CHN test
+    over the DAVIS fixture — trains one tiny checkpoint, then runs
+    ``--chn --test --test_checkpoint``, asserting the three ``.avi``
+    artifacts and finite PSNR/SSIM per algorithm."""
+    import re
+
+    logs = str(tmp_path / "logs")
+    common = [
+        "--chn", "--chn_aligner", "cpn", "--chn_nb", "1",
+        "--data_path", data_root, "--data_ckpt_path", str(tmp_path / "data.ckpt"),
+        "--default_root_dir", logs, "--compute_dtype", "float32",
+    ]
+    _run_cli(common + [
+        "--train_size", "64", "64", "--batch_size", "2", "--frames_n", "3",
+        "--train_max_iterations", "1", "--validation_max_iterations", "1",
+        "--num_workers", "1", "--max_epochs", "1",
+    ])
+    ckpt = os.path.join(logs, "version_0")
+    assert os.path.isdir(os.path.join(ckpt, "checkpoints"))
+
+    out = _run_cli(common + [
+        "--test", "--test_checkpoint", ckpt,
+        "--test_size", "48", "64", "--num_workers", "1",
+    ], cwd=str(tmp_path))
+    for algo in ("ff", "ip", "cp"):
+        avi = os.path.join(str(tmp_path), "generated_sequences", f"clip1_{algo}.avi")
+        assert os.path.isfile(avi) and os.path.getsize(avi) > 0, avi
+        psnr = re.search(rf"test/{algo}/psnr: ([-\d.]+)", out)
+        ssim = re.search(rf"test/{algo}/ssim: ([-\d.]+)", out)
+        assert psnr and ssim, out
+        assert float(psnr.group(1)) > 0 and -1 <= float(ssim.group(1)) <= 1, out
+    # Metrics land in TensorBoard (a tfevents file in a fresh version dir).
+    assert glob.glob(os.path.join(logs, "version_1", "events.out.tfevents.*")), (
+        os.listdir(logs)
+    )

@@ -204,6 +204,79 @@ print("DFPN-DP-SP-STEP-OK")
     assert "DFPN-DP-SP-STEP-OK" in out
 
 
+def test_production_shape_sharded_compile():
+    """Compile-only (no execute) of the PRODUCTION-shape sharded train
+    steps on the 8-device mesh: CHN nb=20 @256² B=8 F=5 with DP+SP, and
+    DFPN base=256 @256² B=8 F=2 with DP. Lowering + SPMD partitioning is
+    where shape-dependent sharding bugs (e.g. an uneven shard in the cs=16
+    4D correlation) would surface; executing at these shapes on CPU is
+    pointless, so ``.lower().compile()`` only."""
+    out = _run_clean(
+        """
+import os
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from master_thesis_tpu.cache import enable_compilation_cache
+from master_thesis_tpu.config import Config
+from master_thesis_tpu.models.chn import CHN
+from master_thesis_tpu.models.dfpn import DFPN
+from master_thesis_tpu.models.vgg import VGGFeatures
+from master_thesis_tpu.parallel import make_mesh
+from master_thesis_tpu.train import chn_task, dfpn_task, state as state_lib
+
+import master_thesis_tpu
+enable_compilation_cache(os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(master_thesis_tpu.__file__))),
+    ".jax_cache_cpu"))
+cfg = Config(lr=1e-3)
+mesh = make_mesh(data=4, model=2)
+repl = NamedSharding(mesh, P())
+dp = NamedSharding(mesh, P("data"))
+ref_sh = NamedSharding(mesh, P("data", "model"))
+key = jax.random.PRNGKey(0)
+z = jnp.zeros
+
+def sds(shape, sharding, dtype=jnp.float32):
+    return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
+# --- CHN: nb=20, 256², B=8, F=5 (4 refs shard over model=2) -----------
+h = w = 256
+b, f = 8, 5
+chn = CHN(nb=20)
+params = chn.init(key, z((1, h, w, 3)), z((1, h, w, 1)), z((1, 1, h, w, 3)),
+                  z((1, 1, h, w, 1)), z((1, 1, h, w, 1)))
+vgg = VGGFeatures()
+vgg_params = jax.device_put(vgg.init(jax.random.PRNGKey(1), z((1, 64, 64, 3))), repl)
+vgg_apply = lambda x, normalize_input=True: vgg.apply(vgg_params, x, normalize_input=normalize_input)
+align = lambda x_t, m_t, x_r, m_r: (x_r, 1 - m_r, jnp.clip((1 - m_r) - (1 - m_t[:, None]), 0, 1))
+state = state_lib.create_train_state(
+    chn.apply, jax.device_put(params, repl), cfg, steps_per_epoch=10)
+step = chn_task.make_train_step(chn.apply, align, vgg_apply, ref_sharding=ref_sh)
+lowered = step.lower(state, sds((b, f, h, w, 3), dp), sds((b, f, h, w, 1), dp),
+                     sds((b, f, h, w, 3), dp))
+lowered.compile()
+print("CHN-PROD-COMPILE-OK")
+
+# --- DFPN: base=256, 256², B=8, F=2 (1 ref: DP only, as production) ---
+f = 2
+dfpn = DFPN()
+dparams = dfpn.init(key, z((1, h, w, 3)), z((1, h, w, 1)), z((1, 1, h, w, 3)),
+                    z((1, 1, h, w, 1)), z((1, 16, 16, 512)), z((1, 1, 16, 16, 512)))
+dstate = state_lib.create_train_state(
+    dfpn.apply, jax.device_put(dparams, repl), cfg, steps_per_epoch=10)
+dstep = dfpn_task.make_train_step(dfpn.apply, vgg_apply, base_size=256,
+                                  ref_sharding=NamedSharding(mesh, P("data")))
+dl = dstep.lower(dstate, sds((b, f, h, w, 3), dp), sds((b, f, h, w, 1), dp),
+                 sds((b, f, h, w, 3), dp), sds((b, f, h, w, 2), dp),
+                 sds((b,), dp))
+dl.compile()
+print("DFPN-PROD-COMPILE-OK")
+""",
+        timeout=1800,
+    )
+    assert "CHN-PROD-COMPILE-OK" in out and "DFPN-PROD-COMPILE-OK" in out
+
+
 def test_graft_dryrun_multichip():
     """The driver's multi-chip dry run compiles and executes on 8 virtual
     CPU devices with DP+SP+TP shardings."""
