@@ -170,11 +170,12 @@ def run_chn_train(cfg):
         state = restore_train_state(state, orbax_resume)
     trainer = Trainer(cfg, "chn")
     lpips_fn = build_mod.build_lpips(cfg, lpips_checkpoint=cfg.lpips_checkpoint)
+    chn_apply = build_mod.chn_train_fn(cfg, model)
     train_step = chn_task.make_train_step(
-        model.apply, align_fn, vgg_apply,
+        chn_apply, align_fn, vgg_apply,
         ref_sharding=trainer.ref_sharding, donate=cfg.donate_buffers,
     )
-    eval_step = chn_task.make_eval_step(model.apply, align_fn, vgg_apply, lpips_fn=lpips_fn)
+    eval_step = chn_task.make_eval_step(chn_apply, align_fn, vgg_apply, lpips_fn=lpips_fn)
     args = lambda b: (b["x"], b["m"], b["y"])
     trainer.fit(
         state, train_step, args, loaders["train"],

@@ -297,28 +297,25 @@ def rrdbnet_infer_apply(
     dtype=jnp.bfloat16, pallas_trunk: bool = True, interpret: bool = False,
     head_y=None,
 ):
-    """Pure-function RRDBNet forward for inference/serving.
+    """Pure-function RRDBNet forward for inference/serving AND training.
 
     Identical math to ``RRDBNet.__call__`` but with the trunk running as the
     fused Pallas kernel (ops/pallas_rrdb.py) — ~1.5x over the XLA trunk on
-    v5e. Forward-only (the kernel defines no VJP); training uses the module.
-    ``head_y``: precomputed head output (``chn_head_grouped``) — skips the
-    in-function head (``x`` is then ignored).
+    v5e. Differentiable end to end: the trunk is a ``jax.custom_vjp``
+    (``make_hybrid_trunk``) whose backward rematerializes through the XLA
+    twin; head/tail are plain XLA. At large spatial sizes (512²+) where the
+    kernel's working set exceeds scoped VMEM the trunk falls back to the
+    XLA formulation. ``head_y``: precomputed head output
+    (``chn_head_grouped``) — skips the in-function head (``x`` is then
+    ignored).
     """
-    from master_thesis_tpu.ops.pallas_rrdb import (
-        pallas_trunk_fits,
-        rrdb_trunk_pallas,
-        rrdb_trunk_xla,
-    )
+    from master_thesis_tpu.ops.pallas_rrdb import make_hybrid_trunk
 
     y = head_y if head_y is not None else rrdbnet_head_forward(params, x, dtype)
-    hw = y.shape[1] * y.shape[2]
-    if pallas_trunk and (interpret or pallas_trunk_fits(nf, gc, hw)):
-        trunk = rrdb_trunk_pallas(y, params, nb=nb, nf=nf, gc=gc, interpret=interpret)
-    else:
-        # Large spatial sizes (512²+): the fused kernel's per-frame working
-        # set exceeds scoped VMEM; run the regrouped XLA formulation.
-        trunk = rrdb_trunk_xla(y, params, nb=nb, nf=nf, gc=gc, dtype=dtype)
+    trunk_params = {k: v for k, v in params.items() if k.startswith("rrdb_")}
+    trunk = make_hybrid_trunk(
+        nb, nf, gc, dtype, use_pallas=pallas_trunk, interpret=interpret
+    )(y, trunk_params)
     y = y + _conv_nhwc(trunk, params["trunk_conv_kernel"], params["trunk_conv_bias"], dtype=dtype)
     return rrdbnet_tail_forward(params, y, dtype)
 
@@ -394,11 +391,13 @@ def chn_infer_apply(
     nb: int = 20, nf: int = 64, gc: int = 32, dtype=jnp.bfloat16,
     interpret: bool = False,
 ):
-    """Pure-function CHN forward for inference/serving: identical math to
-    ``CHN.__call__`` with the RRDB trunk running as the fused Pallas kernel.
+    """Pure-function CHN forward: identical math to ``CHN.__call__`` with
+    the RRDB trunk running as the fused Pallas kernel.
 
-    Used by bench.py and the full-video algorithms; training uses the module
-    (the kernel is forward-only).
+    Used by bench.py, the full-video algorithms, AND the TPU training step
+    (train/build.py:chn_train_fn): the trunk's ``custom_vjp`` pairs the
+    Pallas forward with an XLA-remat backward, and every other stage
+    (grouped head, tail, composite clip) is plain differentiable XLA.
     """
     params = variables["params"]["nn"]
     b, f, h, w, c = x_refs_aligned.shape

@@ -9,8 +9,9 @@ round-trips between the 15 convs, and the per-source contribution
 regrouping from models/chn.py applies (wide OUT dims keep the MXU full).
 Row-wrap artifacts of the flat roll are masked with lane iotas.
 
-Forward-only (inference/serving path — bench and the full-video
-algorithms); training keeps the XLA formulation, which autodiff handles.
+The kernel defines no VJP of its own; :func:`make_hybrid_trunk` makes it
+trainable by pairing the Pallas forward with a rematerialized backward
+through the XLA twin (:func:`rrdb_trunk_xla`).
 Parity: exact regrouping of the reference RDB math (model_chn.py:588-623),
 tested against the flax module in interpret mode.
 """
@@ -181,21 +182,23 @@ def rrdb_pallas(
     )(x_chw, masks, *wb)
 
 
-def pallas_trunk_fits(nf: int, gc: int, hw: int) -> bool:
+def pallas_trunk_fits(nf: int, gc: int, hw: int, itemsize: int = 2) -> bool:
     """Whether one kernel instance's working set fits scoped VMEM (16 MB).
 
     Per grid step the kernel holds (all (·, HW)-shaped): the f32 source
     being rolled, the 9-tap stack (9·C_src in the weight dtype), the f32
     accumulator segments (sum of conv outputs = nf + 4·gc rows), and the
-    x/out blocks. Measured on v5e: HW=4096 compiles, HW=8192 overflows by
-    ~3.5 MB — the estimate below reproduces that boundary with ~20% slack.
+    x/out blocks. ``itemsize`` is the activation/weight dtype's byte width
+    (2 for the bf16 serving/training path, 4 for f32). Measured on v5e at
+    bf16: HW=4096 compiles, HW=8192 overflows by ~3.5 MB — the estimate
+    below reproduces that boundary with ~20% slack.
     """
     acc_rows = nf + 4 * gc
     bytes_per_lane = (
-        9 * nf * 2  # tap stack of the widest source (bf16)
+        9 * nf * itemsize  # tap stack of the widest source
         + nf * 4  # f32 rolled source
         + acc_rows * 4  # f32 accumulators
-        + 2 * nf * 2  # x block + out block (bf16)
+        + 2 * nf * itemsize  # x block + out block
     )
     return bytes_per_lane * hw <= 12 << 20
 
@@ -221,6 +224,63 @@ def rrdb_trunk_pallas(
     for i in range(nb):
         x = rrdb_pallas(x, rrdbnet_params[f"rrdb_{i}"], nf, gc, w, interpret=interpret)
     return x.transpose(0, 2, 1).reshape(n, h, w, c)
+
+
+def make_hybrid_trunk(
+    nb: int,
+    nf: int = 64,
+    gc: int = 32,
+    dtype=jnp.bfloat16,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """Differentiable trunk: fused Pallas forward, XLA-remat backward.
+
+    Returns ``trunk(x_nhwc, trunk_params) -> (N, H, W, nf)`` wrapped in a
+    ``jax.custom_vjp``:
+
+    - **forward**: the fused Pallas kernel (:func:`rrdb_trunk_pallas`) when
+      the per-frame working set fits VMEM, else the regrouped XLA
+      formulation. When never differentiated (serving), this is exactly the
+      old forward — the custom-vjp wrapper adds nothing to the trace.
+    - **backward**: rematerialized VJP of :func:`rrdb_trunk_xla` from the
+      saved ``(x, params)`` residuals. Only the trunk *input* and the f32
+      parameters are held across fwd→bwd (vs. ~60 dense blocks of
+      intermediate activations), and the gradient is the exact gradient of
+      the XLA formulation evaluated at the same primal point.
+
+    Training the thesis (2000 iters x 100 epochs, reference data.py:364)
+    is the dominant compute; this puts its forward on the fastest kernel
+    while keeping autodiff exact w.r.t. the XLA math.
+    """
+
+    def xla_fn(x, params):
+        return rrdb_trunk_xla(x, params, nb, nf, gc, dtype=dtype)
+
+    itemsize = jnp.dtype(dtype).itemsize
+
+    def _impl(x, params):
+        n, h, w, c = x.shape
+        if use_pallas and (interpret or pallas_trunk_fits(nf, gc, h * w, itemsize)):
+            return rrdb_trunk_pallas(
+                x.astype(dtype), params, nb=nb, nf=nf, gc=gc, interpret=interpret
+            )
+        return xla_fn(x, params)
+
+    @jax.custom_vjp
+    def trunk(x, params):
+        return _impl(x, params)
+
+    def fwd(x, params):
+        return _impl(x, params), (x, params)
+
+    def bwd(res, g):
+        x, params = res
+        _, vjp = jax.vjp(xla_fn, x, params)
+        return vjp(g)
+
+    trunk.defvjp(fwd, bwd)
+    return trunk
 
 
 def rrdb_trunk_xla(

@@ -155,6 +155,18 @@ def chn_infer_fn(cfg, model) -> Callable:
     return model.apply
 
 
+def chn_train_fn(cfg, model) -> Callable:
+    """CHN apply for the training/eval steps.
+
+    On TPU-class backends this is the same pure-function path as serving —
+    grouped head + fused Pallas trunk + tail — which is differentiable end
+    to end (the trunk's ``custom_vjp`` rematerializes its backward through
+    the XLA twin, ops/pallas_rrdb.py:make_hybrid_trunk). Elsewhere (CPU
+    tests) the flax module keeps full-precision XLA parity semantics.
+    """
+    return chn_infer_fn(cfg, model)
+
+
 def build_loaders(cfg, metas, splits=("train", "validation")):
     """Assembles Loader objects per split from the 5-meta tuple."""
     from master_thesis_tpu.data.pipeline import ContentProvider, InpaintingDataset, Loader

@@ -51,6 +51,89 @@ def test_rrdb_trunk_xla_matches_module(rng):
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
 
+def test_hybrid_trunk_grads_match_module(rng):
+    """make_hybrid_trunk (Pallas fwd in interpret mode, XLA-remat bwd):
+    value AND gradients — w.r.t. both the trunk input and every conv
+    param — match differentiating the flax module directly (f32)."""
+    from master_thesis_tpu.ops.pallas_rrdb import make_hybrid_trunk
+
+    nf, gc, h, w, n = 16, 8, 8, 8, 2
+    mod = RRDB(nf=nf, gc=gc)
+    x = jnp.asarray(rng.rand(n, h, w, nf).astype(np.float32))
+    p1 = mod.init(jax.random.PRNGKey(0), x)["params"]
+    p2 = mod.init(jax.random.PRNGKey(1), x)["params"]
+    params = {"rrdb_0": p1, "rrdb_1": p2}
+    # A non-uniform cotangent so every grad path is exercised.
+    cot = jnp.asarray(rng.randn(n, h, w, nf).astype(np.float32))
+
+    def ref_loss(x, params):
+        y = mod.apply({"params": params["rrdb_0"]}, x)
+        y = mod.apply({"params": params["rrdb_1"]}, y)
+        return jnp.vdot(y, cot)
+
+    trunk = make_hybrid_trunk(nb=2, nf=nf, gc=gc, dtype=jnp.float32, interpret=True)
+
+    def hybrid_loss(x, params):
+        return jnp.vdot(trunk(x, params), cot)
+
+    want_val, (want_dx, want_dp) = jax.value_and_grad(ref_loss, argnums=(0, 1))(x, params)
+    got_val, (got_dx, got_dp) = jax.value_and_grad(hybrid_loss, argnums=(0, 1))(x, params)
+
+    np.testing.assert_allclose(float(got_val), float(want_val), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want_dx), atol=1e-4)
+    flat_w = jax.tree_util.tree_leaves_with_path(want_dp)
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(got_dp))
+    for path, leaf in flat_w:
+        np.testing.assert_allclose(
+            np.asarray(flat_g[path]), np.asarray(leaf), atol=1e-4,
+            err_msg=str(path),
+        )
+
+
+def test_chn_infer_apply_grads_match_module(rng):
+    """Differentiating the full serving path (grouped head + hybrid trunk
+    + tail) w.r.t. params equals differentiating CHN.apply — validates the
+    TPU training forward (train/build.py:chn_train_fn)."""
+    from master_thesis_tpu.models.chn import CHN, chn_infer_apply
+
+    nb, nf, gc, h, w = 2, 16, 8, 16, 16
+    chn = CHN(nb=nb, nf=nf, gc=gc)
+    z = jnp.zeros
+    variables = chn.init(
+        jax.random.PRNGKey(0), z((1, h, w, 3)), z((1, h, w, 1)),
+        z((1, 1, h, w, 3)), z((1, 1, h, w, 1)), z((1, 1, h, w, 1)),
+    )
+    b, f = 1, 2
+    x_t = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    v_t = jnp.asarray((rng.rand(b, h, w, 1) > 0.2).astype(np.float32))
+    x_r = jnp.asarray(rng.rand(b, f, h, w, 3).astype(np.float32))
+    v_r = jnp.asarray((rng.rand(b, f, h, w, 1) > 0.2).astype(np.float32))
+    vm = jnp.asarray((rng.rand(b, f, h, w, 1) > 0.7).astype(np.float32))
+
+    def loss_mod(variables):
+        y_hat, y_hat_comp = chn.apply(variables, x_t, v_t, x_r, v_r, vm)
+        return jnp.mean(jnp.abs(y_hat - 0.5)) + jnp.mean(y_hat_comp**2)
+
+    def loss_hybrid(variables):
+        y_hat, y_hat_comp = chn_infer_apply(
+            variables, x_t, v_t, x_r, v_r, vm, nb=nb, nf=nf, gc=gc,
+            dtype=jnp.float32, interpret=True,
+        )
+        return jnp.mean(jnp.abs(y_hat - 0.5)) + jnp.mean(y_hat_comp**2)
+
+    want_val, want_g = jax.value_and_grad(loss_mod)(variables)
+    got_val, got_g = jax.value_and_grad(loss_hybrid)(variables)
+    np.testing.assert_allclose(float(got_val), float(want_val), rtol=1e-5)
+    flat_w = jax.tree_util.tree_leaves_with_path(want_g)
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(got_g))
+    assert flat_g, "no gradients produced"
+    for path, leaf in flat_w:
+        np.testing.assert_allclose(
+            np.asarray(flat_g[path]), np.asarray(leaf), atol=2e-4,
+            err_msg=str(path),
+        )
+
+
 def test_chn_infer_apply_matches_module(rng):
     """The pallas-trunk inference path equals CHN.apply (interpret mode)."""
     from master_thesis_tpu.models.chn import CHN, chn_infer_apply
