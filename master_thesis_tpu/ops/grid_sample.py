@@ -74,14 +74,8 @@ def grid_sample(
     return grid_sample_gather(x, grid, mode=mode, align_corners=align_corners)
 
 
-def _auto_row_chunk(n: int, h: int, wo: int, c: int, budget_bytes: int = 512 << 20) -> int:
-    """Chunk size keeping the scan's (N, T, H, W', C) f32 intermediate under
-    a fixed budget. Too-small chunks are the dominant cost (each scan step
-    re-reads the full source from HBM, so halving T doubles that traffic);
-    the budget only guards the multi-hundred-MB blowups at 512²+."""
-    per_row = n * h * wo * max(c, 1) * 4
-    t = max(1, budget_bytes // max(per_row, 1))
-    return int(min(8, t))
+def _round8(v: int) -> int:
+    return -(-int(v) // 8) * 8
 
 
 def grid_sample_mm(
@@ -90,9 +84,10 @@ def grid_sample_mm(
     mode: str = "bilinear",
     align_corners: bool = True,
     row_chunk: int = 0,
+    col_chunk: int = 0,
     precision=None,
 ) -> jnp.ndarray:
-    """Warp as two tent-weight contractions on the MXU.
+    """Warp as two tent-weight contractions on the MXU, tiled in 2-D.
 
     Key identity: bilinear sampling with zeros padding is
 
@@ -100,24 +95,35 @@ def grid_sample_mm(
 
     with ``tent(d) = max(0, 1 - |d|)`` — the tent automatically reproduces
     torch's edge semantics (an out-of-range tap simply has no grid point
-    within distance 1, i.e. contributes zero). Factored per output-row chunk:
-    an x-contraction as one batched matmul, then a y-contraction fused with
-    the tent mask. Per-pixel gathers never appear, which on TPU is worth
-    ~10x over the gather lowering. ``nearest`` mode swaps the tent for a
-    one-hot indicator at the rounded coordinate.
+    within distance 1, i.e. contributes zero). ``nearest`` swaps the tent
+    for a one-hot indicator at the rounded coordinate.
 
-    Cost is O(H'·W'·(H + W)·C) MACs — more arithmetic than the O(H'·W')
-    gather, but it runs at MXU rate instead of scalar-loop rate.
+    The output is processed in ``(T x TC)`` row/column tiles (a lax.scan,
+    one tile per step). For each tile the tent support is located in BOTH
+    axes (per-item min/max of the tile's grid coordinates) and the
+    contraction runs over a ``(BY, BX)`` source band fetched with a dynamic
+    slice — for alignment-like warps (regressed affine thetas, DFPN flows:
+    scale ~1, mild rotation) that band is a small neighborhood of the tile,
+    so the materialized tent weights are ``(N,T,BX,TC)`` instead of
+    ``(N,T,W,W')``. This op is HBM-bound, not MXU-bound: the tent-weight
+    and intermediate traffic is what the tiling cuts (~5x at 256²). Tiers
+    of growing bands and a final full-frame tier keep the result exact for
+    EVERY grid via lax.cond — a tile whose support exceeds a band falls
+    through to the next tier.
+
+    ``precision=None`` = full f32 (HIGHEST, the parity default);
+    ``Precision.DEFAULT`` = the serving path — operands are materialized in
+    bf16 (halving the dominant HBM traffic) and accumulated in f32 on the
+    MXU, ~4e-3 max abs error (below the bf16 network's own rounding).
     """
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
+    serve_bf16 = precision == jax.lax.Precision.DEFAULT
+    opd = jnp.bfloat16 if serve_bf16 else jnp.float32
     n, h, w, c = x.shape
     _, ho, wo, _ = grid.shape
     gx = _unnormalize(grid[..., 0].astype(jnp.float32), w, align_corners)
     gy = _unnormalize(grid[..., 1].astype(jnp.float32), h, align_corners)
-
-    xs = jnp.arange(w, dtype=jnp.float32)
-    ys = jnp.arange(h, dtype=jnp.float32)
 
     if mode == "bilinear":
         weight = lambda pts, f: jnp.maximum(0.0, 1.0 - jnp.abs(pts - f))
@@ -126,91 +132,100 @@ def grid_sample_mm(
     else:
         raise ValueError(f"unknown grid_sample mode: {mode}")
 
-    # Pad output rows to a multiple of the chunk size.
-    if row_chunk <= 0:
-        row_chunk = _auto_row_chunk(n, h, wo, c)
-    t = min(row_chunk, ho)
-    pad = (-ho) % t
-    if pad:
-        gx = jnp.concatenate([gx, jnp.zeros((n, pad, wo))], axis=1)
-        gy = jnp.concatenate([gy, jnp.zeros((n, pad, wo))], axis=1)
-    nch = (ho + pad) // t
+    # Pad the output grid to a multiple of the tile size (zeros sample the
+    # source center; the padded rows/cols are sliced off at the end).
+    # Defaults from a v5e sweep (scripts/sweep_warp.py, alignment-like
+    # grids): 16 output rows per step, full-width columns up to 256 — at
+    # 256² that is full-frame-width (column tiling only serializes the
+    # scan there); at 512²+ two-or-more column tiles beat full width
+    # because the per-step tent-weight block stays cache-sized.
+    t = min(row_chunk if row_chunk > 0 else 16, ho)
+    tc = min(col_chunk if col_chunk > 0 else 256, wo)
+    pad_r, pad_c = (-ho) % t, (-wo) % tc
+    if pad_r or pad_c:
+        gx = jnp.pad(gx, ((0, 0), (0, pad_r), (0, pad_c)))
+        gy = jnp.pad(gy, ((0, 0), (0, pad_r), (0, pad_c)))
+    nr, nc = (ho + pad_r) // t, (wo + pad_c) // tc
 
-    # (nch, N, T, W') chunk-major for the scan.
-    gx_c = gx.reshape(n, nch, t, wo).transpose(1, 0, 2, 3)
-    gy_c = gy.reshape(n, nch, t, wo).transpose(1, 0, 2, 3)
+    # (nr*nc, N, T, TC) tile-major for the scan.
+    def tile_major(g):
+        g = g.reshape(n, nr, t, nc, tc).transpose(1, 3, 0, 2, 4)
+        return g.reshape(nr * nc, n, t, tc)
+
+    gx_c, gy_c = tile_major(gx), tile_major(gy)
     xf = x.astype(jnp.float32)
 
-    # Banded y-contraction: a warp tap at output row block [i, i+T) only
-    # touches source rows within 1 of that block's gy values — for
-    # alignment-like warps (scale ~1, mild rotation) that's a ~T+rot·W'
-    # row band, not all H. Each chunk locates its per-item band start with
-    # a dynamic slice and contracts B rows instead of H (~H/B fewer MACs);
-    # a lax.cond falls back to the dense contraction for any chunk whose
-    # tent support doesn't fit the static band, so the result is exact for
-    # EVERY grid. Band fit is the common case: regressed affine thetas and
-    # DFPN flows are near-identity maps.
-    bands = [b for b in (max(16, 2 * t), 64) if b < h]
-    bands = sorted(set(bands))
-
-    def x_contract(src, wx):
-        return jnp.einsum("nyxc,ntxj->ntyjc", src, wx, precision=precision)
-
-    def y_contract(r, wy):
-        return jnp.einsum("ntyjc,ntyj->ntjc", r, wy, precision=precision)
+    # (BY, BX) band tiers, tightest first, ending with the exact full-frame
+    # tier (band == axis extent, start pinned to 0 by the clip). A tier
+    # whose band covers a whole axis keeps banding on the other axis.
+    by_tiers = [b for b in (max(16, _round8(2 * t)), 64) if b < h]
+    bx_tiers = [b for b in (_round8(tc + 16), _round8(2 * tc + 32)) if b < w]
+    depth = max(len(by_tiers), len(bx_tiers), 0)
+    tiers = [
+        (
+            by_tiers[i] if i < len(by_tiers) else h,
+            bx_tiers[i] if i < len(bx_tiers) else w,
+        )
+        for i in range(depth)
+    ]
+    tiers.append((h, w))  # exact dense fallback
 
     def body(_, inp):
-        gxc, gyc = inp  # (N, T, W')
-        wx = weight(xs[None, None, :, None], gxc[:, :, None, :])  # (N,T,W,W')
+        gxc, gyc = inp  # (N, T, TC)
+        gx_min, gx_max = jnp.min(gxc, axis=(1, 2)), jnp.max(gxc, axis=(1, 2))
+        gy_min, gy_max = jnp.min(gyc, axis=(1, 2)), jnp.max(gyc, axis=(1, 2))
+        # Highest in-range source row/col any tap can touch must lie in the
+        # band (taps below 0 need no coverage: those rows don't exist and
+        # contribute zero by the tent identity).
+        hi_y = jnp.minimum(jnp.floor(gy_max) + 1.0, float(h - 1))
+        hi_x = jnp.minimum(jnp.floor(gx_max) + 1.0, float(w - 1))
 
-        def dense(_):
-            r = jnp.einsum(
-                "nyxc,ntxj->ntyjc", xf, wx, precision=precision
-            )  # (N,T,H,W',C)
-            wy = weight(ys[None, None, :, None], gyc[:, :, None, :])  # (N,T,H,W')
-            return y_contract(r, wy)
-
-        if not bands:
-            return None, dense(None)
-
-        gy_min = jnp.min(gyc, axis=(1, 2))  # (N,)
-        gy_max = jnp.max(gyc, axis=(1, 2))
-        # Highest in-range source row any tap can touch must lie in the band.
-        hi_tap = jnp.minimum(jnp.floor(gy_max) + 1.0, float(h - 1))
-
-        def banded(band):
-            start = jnp.clip(jnp.floor(gy_min).astype(jnp.int32) - 1, 0, h - band)
+        def tiered(by, bx):
+            sy = jnp.clip(jnp.floor(gy_min).astype(jnp.int32) - 1, 0, h - by)
+            sx = jnp.clip(jnp.floor(gx_min).astype(jnp.int32) - 1, 0, w - bx)
 
             def run(_):
-                zero = jnp.zeros((), start.dtype)  # match s0 under jax_enable_x64
+                zero = jnp.zeros((), sy.dtype)  # match dtype under x64
                 xb = jax.vmap(
-                    lambda img, s0: jax.lax.dynamic_slice(
-                        img, (s0, zero, zero), (band, w, c)
+                    lambda img, r0, c0: jax.lax.dynamic_slice(
+                        img, (r0, c0, zero), (by, bx, c)
                     )
-                )(xf, start)  # (N, B, W, C)
-                r = x_contract(xb, wx)  # (N,T,B,W',C)
-                ys_b = (start[:, None] + jnp.arange(band)).astype(jnp.float32)
+                )(xf, sy, sx)  # (N, BY, BX, C)
+                xs_b = (sx[:, None] + jnp.arange(bx)).astype(jnp.float32)
+                ys_b = (sy[:, None] + jnp.arange(by)).astype(jnp.float32)
+                wx = weight(xs_b[:, None, :, None], gxc[:, :, None, :])
                 wy = weight(ys_b[:, None, :, None], gyc[:, :, None, :])
-                return y_contract(r, wy)
+                r = jnp.einsum(
+                    "nyxc,ntxj->ntyjc", xb.astype(opd), wx.astype(opd),
+                    precision=precision, preferred_element_type=opd,
+                )  # (N, T, BY, TC, C)
+                return jnp.einsum(
+                    "ntyjc,ntyj->ntjc", r, wy.astype(opd),
+                    precision=precision, preferred_element_type=jnp.float32,
+                )
 
-            fits = jnp.all(hi_tap <= (start + band - 1).astype(jnp.float32))
+            fits = jnp.all(
+                (hi_y <= (sy + by - 1).astype(jnp.float32))
+                & (hi_x <= (sx + bx - 1).astype(jnp.float32))
+            )
             return fits, run
 
-        # Tiered bands, tightest first; any chunk whose tent support
-        # exceeds every tier falls back to the dense contraction — exact
-        # for every grid, fast for the alignment-like common case.
-        out = dense
-        for b in reversed(bands):
-            fits, run = banded(b)
+        out = None
+        for by, bx in reversed(tiers):
+            fits, run = tiered(by, bx)
+            if out is None:
+                out = run  # the full-frame tier always fits
+                continue
             out = functools.partial(
                 lambda fits, run, prev, _: jax.lax.cond(fits, run, prev, None),
                 fits, run, out,
             )
         return None, out(None)
 
-    _, outs = jax.lax.scan(body, None, (gx_c, gy_c))  # (nch, N, T, W', C)
-    out = outs.transpose(1, 0, 2, 3, 4).reshape(n, nch * t, wo, c)
-    return out[:, :ho].astype(x.dtype)
+    _, outs = jax.lax.scan(body, None, (gx_c, gy_c))  # (nr*nc, N, T, TC, C)
+    out = outs.reshape(nr, nc, n, t, tc, c).transpose(2, 0, 3, 1, 4, 5)
+    out = out.reshape(n, nr * t, nc * tc, c)
+    return out[:, :ho, :wo].astype(x.dtype)
 
 
 def grid_sample_gather(

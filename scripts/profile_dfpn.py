@@ -35,12 +35,13 @@ ITERS = 20
 
 def timeit(fn, *args):
     out = fn(*args)
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    # Real sync: block_until_ready is a no-op through the axon relay.
+    float(np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])))
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = fn(*args)
     # One trailing host fetch bounds the in-order device stream.
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    float(np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])))
     return (time.perf_counter() - t0) / ITERS * 1e3
 
 

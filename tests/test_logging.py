@@ -24,7 +24,10 @@ def test_step_timer_skips_warmup():
     for _ in range(4):
         t.tick()
         time.sleep(0.01)
-    assert 0.005 < t.mean < 0.1
+    # Lower bound is semantic (sleep floor); no tight upper bound — a loaded
+    # machine can stretch a 10 ms sleep arbitrarily and this test is about
+    # warmup skipping, not wall-clock accuracy.
+    assert 0.005 < t.mean < 5.0
     assert len(t.times) == 2  # 4 ticks -> 3 intervals, first skipped
 
 
