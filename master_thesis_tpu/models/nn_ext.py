@@ -147,12 +147,57 @@ class Conv(nn.Module):
         return y
 
 
+def phase_transpose_kernel(
+    w: jnp.ndarray, stride: int, padding: int
+) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """Stride-``s`` transposed conv as one low-resolution phase conv.
+
+    The transpose conv ``y[s·v - p + κ] += x[v]·W[κ]`` evaluated at output
+    ``u = s·t + a`` (phase ``a``) reads input offsets ``d = v - t`` with tap
+    ``κ = a + p - s·d`` — a *small dense conv per phase*. All ``s²`` phases
+    are packed into output channels ``(a, b, o)`` (un-packed by
+    :func:`pixel_shuffle_2x` for ``s=2``) so the whole transpose conv is ONE
+    low-res conv with ``4·O`` output lanes. Exact regrouping: the same
+    products are summed, none of the ``(s²-1)/s²`` zero-stuffed positions of
+    the ``lhs_dilation`` lowering are ever touched.
+
+    Returns ``(kernel (K', K', C, s²·O), conv padding (padL, padR))`` for a
+    stride-1 NHWC correlation; output spatial size is the input's, so it
+    only covers geometries where the transposed output is exactly
+    ``s x input`` (k=3,p=1,op=1 and k=5,p=2,op=1 — both DFPN cases).
+    """
+    k, _, c, o = w.shape
+    s, p = stride, padding
+    d_min = min(-((k - 1 - a - p) // s) for a in range(s))  # ceil((a+p-k+1)/s)
+    d_max = max((a + p) // s for a in range(s))
+    kp = d_max - d_min + 1
+    out = jnp.zeros((kp, kp, c, s, s, o), dtype=w.dtype)
+    for a in range(s):
+        for b in range(s):
+            for dy in range(d_min, d_max + 1):
+                for dx in range(d_min, d_max + 1):
+                    ky = a + p - s * dy
+                    kx = b + p - s * dx
+                    if 0 <= ky < k and 0 <= kx < k:
+                        out = out.at[dy - d_min, dx - d_min, :, a, b, :].set(
+                            w[ky, kx]
+                        )
+    return out.reshape(kp, kp, c, s * s * o), (-d_min, d_max)
+
+
 class ConvTranspose2dTorch(nn.Module):
     """``torch.nn.ConvTranspose2d`` with (stride, padding, output_padding).
 
     Output size: ``(in - 1) * stride - 2 * padding + kernel + output_padding``.
     Kernel param layout: HWIO with I=in_channels, O=out_channels (the torch
     ``(in, out, kh, kw)`` weight transposed to ``(kh, kw, in, out)``).
+
+    When the geometry is an exact 2x upsample (stride 2 and
+    ``output_padding`` covering the tail: out = 2 x in — every DFPN use),
+    the op runs as a 4-phase low-res conv + pixel shuffle
+    (:func:`phase_transpose_kernel`): same products, ~(s²·k²)/K'²·4 fewer
+    MACs than the zero-stuffed ``lhs_dilation`` lowering and full MXU
+    output lanes. Other geometries keep the dilated form.
     """
 
     features: int
@@ -178,21 +223,42 @@ class ConvTranspose2dTorch(nn.Module):
             (kh, kw, in_c, self.features),
             self.param_dtype,
         )
-        # Correlate the zero-stuffed input with the spatially flipped kernel.
-        kernel_f = kernel[::-1, ::-1]
-        pads = (
-            (kh - 1 - self.padding[0], kh - 1 - self.padding[0] + self.output_padding[0]),
-            (kw - 1 - self.padding[1], kw - 1 - self.padding[1] + self.output_padding[1]),
+        s = self.strides[0]
+        exact_2x = (
+            self.strides == (2, 2)
+            and kh == kw
+            and self.padding[0] == self.padding[1]
+            # out = (in-1)·2 - 2p + k + op == 2·in  <=>  op == 2p - k + 2
+            and self.output_padding == (2 * self.padding[0] - kh + 2,) * 2
         )
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel_f.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=pads,
-            lhs_dilation=self.strides,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if exact_2x:
+            w4, (pl, pr) = phase_transpose_kernel(kernel, s, self.padding[0])
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                w4.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((pl, pr), (pl, pr)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            y = pixel_shuffle_2x(y)
+        else:
+            # Correlate the zero-stuffed input with the spatially flipped
+            # kernel.
+            kernel_f = kernel[::-1, ::-1]
+            pads = (
+                (kh - 1 - self.padding[0], kh - 1 - self.padding[0] + self.output_padding[0]),
+                (kw - 1 - self.padding[1], kw - 1 - self.padding[1] + self.output_padding[1]),
+            )
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel_f.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=pads,
+                lhs_dilation=self.strides,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST,
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", _uniform(bound), (self.features,), self.param_dtype

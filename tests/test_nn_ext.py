@@ -34,7 +34,9 @@ def test_conv_dilated_matches_torch(rng):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
-@pytest.mark.parametrize("k,p,op", [(3, 1, 1), (5, 2, 1)])
+# (3,1,1) and (5,2,1) are the DFPN geometries (exact-2x -> phase-conv path);
+# (3,1,0) is not an exact 2x upsample and keeps the dilated fallback covered.
+@pytest.mark.parametrize("k,p,op", [(3, 1, 1), (5, 2, 1), (3, 1, 0)])
 def test_conv_transpose_matches_torch(rng, k, p, op):
     sd = torch_ref.rand_tconv_sd(rng, "t", 6, 5, k)
     x = rng.rand(2, 9, 11, 6).astype(np.float32)
