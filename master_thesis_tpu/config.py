@@ -57,6 +57,11 @@ class Config:
     # Worker PROCESSES for the data loader (the reference DataLoader
     # architecture) — threads are GIL-bound in the simulator's numpy warp.
     loader_processes: bool = False
+    # Evaluate the movement-simulator warp directly at the train resolution
+    # in image_resize mode (exact flows/masks; background values carry a
+    # bounded double-bilinear deviation — PARITY.md). False = the
+    # reference's warp-at->=2x-size-then-resize pipeline, pixel-exact.
+    fast_simulator: bool = True
     train_max_iterations: int = 2000
     validation_max_iterations: int = 200
 
@@ -143,6 +148,7 @@ class Config:
         parser.add_argument("--batch_size", type=int, default=8)
         parser.add_argument("--num_workers", type=int, default=0)
         parser.add_argument("--loader_processes", default=False, **boolean)
+        parser.add_argument("--fast_simulator", default=True, **boolean)
         parser.add_argument("--train_max_iterations", type=int, default=2000)
         parser.add_argument("--validation_max_iterations", type=int, default=200)
         parser.add_argument("--lr", type=float, default=1e-4)

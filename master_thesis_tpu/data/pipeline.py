@@ -181,13 +181,20 @@ class ContentProvider:
         )
         return y, m, self.items_names[sequence_index], frames_indexes, gt_movement, m_movement
 
-    def get_patch(self, frame_index: int, frames_n: int, use_simulator: bool, rng):
+    def get_patch(
+        self, frame_index: int, frames_n: int, use_simulator: bool, rng,
+        out_size=None,
+    ):
         if use_simulator and self.movement_simulator is not None:
-            return self._get_patch_simulated(frame_index, frames_n, rng)
+            return self._get_patch_simulated(frame_index, frames_n, rng, out_size)
         return self._get_patch_contiguous(frame_index, frames_n, rng)
 
-    def get_patch_random(self, frames_n: int, use_simulator: bool, rng):
-        return self.get_patch(rng.randint(0, len(self)), frames_n, use_simulator, rng)
+    def get_patch_random(
+        self, frames_n: int, use_simulator: bool, rng, out_size=None
+    ):
+        return self.get_patch(
+            rng.randint(0, len(self)), frames_n, use_simulator, rng, out_size
+        )
 
     def _get_patch_contiguous(self, frame_index: int, frames_n: int, rng):
         """Window of frames around a center (reference dataset.py:473-561)."""
@@ -224,19 +231,54 @@ class ContentProvider:
         )
         return y, m, self.items_names[seq], frames_indexes, gt_movement, m_movement
 
-    def _get_patch_simulated(self, frame_index: int, frames_n: int, rng):
-        """Single frame + synthetic camera path (reference dataset.py:563-605)."""
+    def _get_patch_simulated(
+        self, frame_index: int, frames_n: int, rng, out_size=None
+    ):
+        """Single frame + synthetic camera path (reference dataset.py:563-605).
+
+        ``out_size``: when the caller resizes the patch to a fixed working
+        resolution anyway (``image_resize`` mode), the simulator evaluates
+        the warp directly at that resolution
+        (``MovementSimulator.simulate_movement_resized`` — exact flows and
+        masks, bounded value deviation) instead of warping a >=2x-train-size
+        background and throwing 7/8 of the pixels away.
+        """
         y, m, name = self.get_frame(frame_index)
         gt_movement, m_movement, mats = None, None, None
         sim = self.movement_simulator
         sim.rng = rng  # draw transforms from the item's stream
 
         if y is not None:
-            if self.movement_min_height != -1 and y.shape[0] < self.movement_min_height:
-                y = _resize_keep_ratio(y, (self.movement_min_height, -1))
-            y, gt_movement, mats = sim.simulate_movement(y, frames_n)
+            small = (
+                self.movement_min_height != -1
+                and y.shape[0] < self.movement_min_height
+            )
+            if out_size is not None:
+                if small:
+                    # Virtual size of the keep-ratio (min_height, -1) resize
+                    # the exact path would warp at — incl. the reference's
+                    # drop-last-column quirk (_resize_keep_ratio slices
+                    # ``[: -1]`` when the requested width is -1).
+                    vh = self.movement_min_height
+                    rw = round(y.shape[1] * vh / y.shape[0])
+                    virtual, resized = (vh, rw - 1), (vh, rw)
+                else:
+                    virtual, resized = y.shape[:2], None
+                y, gt_movement, mats = sim.simulate_movement_resized(
+                    y, frames_n, out_size, virtual, value_mode="bilinear",
+                    resized_hw=resized,
+                )
+            else:
+                if small:
+                    y = _resize_keep_ratio(y, (self.movement_min_height, -1))
+                y, gt_movement, mats = sim.simulate_movement(y, frames_n)
         if m is not None:
-            m, m_movement, _ = sim.simulate_movement(m, frames_n, mats)
+            if out_size is not None:
+                m, m_movement, _ = sim.simulate_movement_resized(
+                    m, frames_n, out_size, None, mats, value_mode="nearest"
+                )
+            else:
+                m, m_movement, _ = sim.simulate_movement(m, frames_n, mats)
             m = (m > 0.5).astype(np.float32)
         return y, m, name, None, gt_movement, m_movement
 
@@ -289,15 +331,24 @@ class InpaintingDataset:
         if self.masks is None or self.masks.movement_simulator is None:
             use_sim_masks = False
 
+        # In image_resize mode every simulated patch is resized to the
+        # working resolution right below — let the simulator evaluate the
+        # warp directly at that size (exact flows/masks, bounded value
+        # deviation; ops/movements.py:simulate_movement_resized).
+        sim_out = (
+            self.image_size
+            if cfg.image_resize and getattr(cfg, "fast_simulator", True)
+            else None
+        )
         if cfg.frames_n == -1:
             y, m, bg_name, bg_indexes, gt_movement, m_movement = self.bgs.get_sequence(item)
         else:
             y, m, bg_name, bg_indexes, gt_movement, m_movement = self.bgs.get_patch(
-                item, cfg.frames_n, use_sim_bgs, rng
+                item, cfg.frames_n, use_sim_bgs, rng, sim_out
             )
             if self.masks is not None:
                 _, m, _, _, _, m_movement = self.masks.get_patch_random(
-                    cfg.frames_n, use_sim_masks, rng
+                    cfg.frames_n, use_sim_masks, rng, sim_out
                 )
 
         # Resize-or-crop to the working resolution (reference dataset.py:135-156).

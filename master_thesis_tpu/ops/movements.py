@@ -85,6 +85,115 @@ class MovementSimulator:
         )
         return y, flow_inv.astype(np.float32), affine_matrices
 
+    def simulate_movement_resized(
+        self,
+        x: np.ndarray,
+        n: int,
+        out_size: Tuple[int, int],
+        virtual_hw: Optional[Tuple[int, int]] = None,
+        affine_matrices: Optional[List[np.ndarray]] = None,
+        value_mode: str = "bilinear",
+        resized_hw: Optional[Tuple[int, int]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, List[np.ndarray]]:
+        """The data-pipeline composite ``upscale to virtual_hw -> warp ->
+        resize to out_size`` evaluated directly at ``out_size`` — the
+        single-core fast path of the simulator hot loop.
+
+        The reference pipeline (dataset.py:563-605 + :135-156) upscales the
+        background to >= 2x train size, warps every frame at that size, then
+        resizes down to the train size — ~8x more warped pixels than the
+        train frames keep. All three maps are (bi)linear in *coordinates*,
+        so their composition is evaluated analytically and only ``out_size``
+        pixels are ever gathered:
+
+        - **flows** are EXACT: the inverse-affine grid is evaluated at the
+          virtual-resolution positions the reference's nearest resize would
+          have picked (``floor(i*in/out)``, ops/interp.py:_nearest_indices).
+        - **masks** (``value_mode="nearest"``, no min-height upscale, so
+          ``virtual_hw`` = native) are EXACT: nearest-resize-of-warp equals
+          the warp evaluated at the nearest-picked positions.
+        - **background values** deviate: ``bilinear_resize(warp(upscale(x)))``
+          is a cascade of bilinear kernels while the fast path samples ``x``
+          once at the composed coordinate — a low-pass difference bounded by
+          the image's local curvature (PARITY.md deviation; the exact path
+          stays for ``image_resize=False`` and ``--fast_simulator false``).
+
+        Args:
+            virtual_hw: size the reference path would warp at (the
+                min-height keep-ratio target after its drop-last-column
+                crop, or ``x.shape[:2]``).
+            value_mode: back-projection rule of the final resize —
+                ``"bilinear"`` (align_corners=False source positions, the
+                backgrounds' resize) or ``"nearest"`` (the masks' resize).
+            resized_hw: the UNCROPPED keep-ratio resize target when the
+                exact path upscales first (``interp.resize_hw_np`` with
+                align_corners=False); virtual coordinates are back-mapped
+                through that resize so the composed grid addresses the
+                original pixels the upscale would have interpolated.
+        """
+        h, w = x.shape[0], x.shape[1]
+        hs, ws = virtual_hw if virtual_hw is not None else (h, w)
+        oh, ow = out_size
+        if affine_matrices is None:
+            mats = [self.random_affine() for _ in range(n - 1)]
+            affine_matrices = mats[: n // 2] + [identity_affine()] + mats[n // 2 :]
+        mats_inv = [np.linalg.inv(m) for m in affine_matrices]
+
+        stacked = stack_transformations(np.stack(affine_matrices), t=n // 2)
+        stacked_inv = stack_transformations(np.stack(mats_inv), t=n // 2)
+        theta = np.stack([affine2theta(m, hs, ws) for m in stacked]).astype(np.float64)
+        theta_inv = np.stack(
+            [affine2theta(m, hs, ws) for m in stacked_inv]
+        ).astype(np.float64)
+
+        def norm(idx, size):
+            # Virtual-pixel position -> align_corners=True normalized coord.
+            return 2.0 * idx / (size - 1) - 1.0 if size > 1 else np.zeros_like(idx)
+
+        if value_mode == "bilinear":
+            # torch bilinear (align_corners=False) source positions.
+            sy = np.clip((np.arange(oh) + 0.5) * (hs / oh) - 0.5, 0.0, hs - 1)
+            sx = np.clip((np.arange(ow) + 0.5) * (ws / ow) - 0.5, 0.0, ws - 1)
+        elif value_mode == "nearest":
+            sy = np.clip(np.floor(np.arange(oh) * (hs / oh)), 0, hs - 1)
+            sx = np.clip(np.floor(np.arange(ow) * (ws / ow)), 0, ws - 1)
+        else:
+            raise ValueError(f"unknown value_mode: {value_mode}")
+        def apply_theta(t, gx, gy):
+            # (N, oh, ow, 2) normalized grid: theta @ (gx, gy, 1).
+            ox = t[:, None, None, 0, 0] * gx + t[:, None, None, 0, 1] * gy + t[:, None, None, 0, 2]
+            oy = t[:, None, None, 1, 0] * gx + t[:, None, None, 1, 1] * gy + t[:, None, None, 1, 2]
+            return np.stack([ox, oy], axis=-1)
+
+        def to_orig(pn, vsize, rsize, osize):
+            """Virtual-normalized warp coord -> original-normalized sample
+            coord through the align_corners=False keep-ratio upscale."""
+            if rsize is None or rsize == osize:
+                return pn
+            pv = (pn + 1.0) * 0.5 * (vsize - 1)  # virtual pixel position
+            po = (pv + 0.5) * (osize / rsize) - 0.5  # original pixel position
+            return 2.0 * po / (osize - 1) - 1.0 if osize > 1 else pv * 0.0
+
+        rh, rw = resized_hw if resized_hw is not None else (None, None)
+        gy_v, gx_v = np.meshgrid(norm(sy, hs), norm(sx, ws), indexing="ij")
+        flow = apply_theta(theta, gx_v, gy_v)
+        flow = np.stack(
+            [to_orig(flow[..., 0], ws, rw, w), to_orig(flow[..., 1], hs, rh, h)],
+            axis=-1,
+        ).astype(np.float32)
+        y = grid_sample_bilinear_np(
+            np.repeat(x[None], n, axis=0), flow, align_corners=True
+        )
+
+        # The ground-truth flow the reference would produce: computed at
+        # virtual resolution, nearest-resized to out_size — exact here.
+        iy = np.clip(np.floor(np.arange(oh) * (hs / oh)), 0, hs - 1)
+        ix = np.clip(np.floor(np.arange(ow) * (ws / ow)), 0, ws - 1)
+        gy_n, gx_n = np.meshgrid(norm(iy, hs), norm(ix, ws), indexing="ij")
+        flow_inv = apply_theta(theta_inv, gx_n, gy_n).astype(np.float32)
+
+        return y, flow_inv, affine_matrices
+
 
 def affine_matrix(
     translation=(0.0, 0.0), scale=(1.0, 1.0), rotation: float = 0.0

@@ -59,3 +59,85 @@ def test_random_affine_respects_bounds():
         assert abs(m[0, 2]) <= 50 and abs(m[1, 2]) <= 50
         sx = np.hypot(m[0, 0], m[1, 0])
         assert 0.85 <= sx <= 1.15
+
+
+def _exact_pipeline(x, n, mats, min_height, out_size, value_mode):
+    """The reference composite the fast path replaces: optional keep-ratio
+    upscale -> warp -> (threshold-free) resize of values and nearest resize
+    of flows, mirroring data/pipeline.py's exact branches."""
+    from master_thesis_tpu.ops import interp
+
+    sim = movements.MovementSimulator(0, 0, 0)
+    if min_height is not None and x.shape[0] < min_height:
+        h, w = x.shape[0], x.shape[1]
+        new = (min_height, round(w * min_height / h))
+        x = interp.resize_hw_np(x, new, mode="bilinear")[:, :-1]
+    y, flow_inv, _ = sim.simulate_movement(x, n, mats)
+    y = interp.resize_hw_np(y, out_size, mode=value_mode)
+    flow_inv = interp.resize_hw_np(flow_inv, out_size, mode="nearest")
+    return y, flow_inv
+
+
+def test_simulate_movement_resized_flows_exact(rng):
+    """Fast-path ground-truth flows == warp-at-virtual-size + nearest
+    resize, bit-close (both evaluate the same analytic affine)."""
+    x = rng.rand(48, 88, 3).astype(np.float32)
+    sim = movements.MovementSimulator(5, 0.05, 0.1, rng=np.random.RandomState(7))
+    mats = [sim.random_affine() for _ in range(2)]
+    mats = mats[:1] + [movements.identity_affine()] + mats[1:]
+    mh, out = 96, (40, 56)
+    rw = round(88 * mh / 48)
+    _, want_flow = _exact_pipeline(x, 3, mats, mh, out, "bilinear")
+    _, got_flow, _ = sim.simulate_movement_resized(
+        x, 3, out, (mh, rw - 1), mats, value_mode="bilinear",
+        resized_hw=(mh, rw),
+    )
+    np.testing.assert_allclose(got_flow, want_flow, atol=1e-5)
+
+
+def test_simulate_movement_resized_mask_exact(rng):
+    """No upscale + nearest back-projection (the mask path) is EXACT:
+    nearest-resize-of-warp == warp evaluated at the picked positions."""
+    m = (rng.rand(37, 61, 1) > 0.7).astype(np.float32)
+    sim = movements.MovementSimulator(4, 0.08, 0.15, rng=np.random.RandomState(8))
+    mats = [sim.random_affine() for _ in range(4)]
+    mats = mats[:2] + [movements.identity_affine()] + mats[2:]
+    out = (24, 40)
+    want, want_flow = _exact_pipeline(m, 5, mats, None, out, "nearest")
+    got, got_flow, _ = sim.simulate_movement_resized(
+        m, 5, out, None, mats, value_mode="nearest"
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_allclose(got_flow, want_flow, atol=1e-5)
+
+
+def test_simulate_movement_resized_values_close_on_smooth(rng):
+    """Background values: double-bilinear vs composed single-bilinear is a
+    low-pass difference — tight on a smooth image."""
+    gy, gx = np.meshgrid(np.linspace(0, 1, 48), np.linspace(0, 1, 80), indexing="ij")
+    x = np.stack([gy, gx, 0.5 * (gx + gy)], -1).astype(np.float32)
+    sim = movements.MovementSimulator(3, 0.03, 0.05, rng=np.random.RandomState(9))
+    mats = [sim.random_affine() for _ in range(2)]
+    mats = mats[:1] + [movements.identity_affine()] + mats[1:]
+    mh, out = 96, (32, 48)
+    rw = round(80 * mh / 48)
+    want, _ = _exact_pipeline(x, 3, mats, mh, out, "bilinear")
+    got, _, _ = sim.simulate_movement_resized(
+        x, 3, out, (mh, rw - 1), mats, value_mode="bilinear",
+        resized_hw=(mh, rw),
+    )
+    # Interior parity is tight on a (piecewise-)linear image; the border
+    # rolloff region differs at sub-virtual-pixel scale.
+    assert np.abs(got[:, 2:-2, 2:-2] - want[:, 2:-2, 2:-2]).max() < 2e-2
+
+
+def test_simulate_movement_resized_draws_match_exact_path():
+    """With no explicit matrices both paths draw the same transforms from
+    the same stream (RNG order preserved by the fast path)."""
+    x = np.random.RandomState(0).rand(40, 40, 1).astype(np.float32)
+    a = movements.MovementSimulator(5, 0.05, 0.1, rng=np.random.RandomState(11))
+    _, _, mats_a = a.simulate_movement(x, 3)
+    b = movements.MovementSimulator(5, 0.05, 0.1, rng=np.random.RandomState(11))
+    _, _, mats_b = b.simulate_movement_resized(x, 3, (24, 24))
+    for ma, mb in zip(mats_a, mats_b):
+        np.testing.assert_allclose(ma, mb)
