@@ -300,12 +300,13 @@ def rrdbnet_infer_apply(
     """Pure-function RRDBNet forward for inference/serving AND training.
 
     Identical math to ``RRDBNet.__call__`` but with the trunk running as the
-    fused Pallas kernel (ops/pallas_rrdb.py) — ~1.5x over the XLA trunk on
-    v5e. Differentiable end to end: the trunk is a ``jax.custom_vjp``
-    (``make_hybrid_trunk``) whose backward rematerializes through the XLA
-    twin; head/tail are plain XLA. At large spatial sizes (512²+) where the
-    kernel's working set exceeds scoped VMEM the trunk falls back to the
-    XLA formulation. ``head_y``: precomputed head output
+    fused Pallas kernel (ops/pallas_rrdb.py) — the XLA trunk measures ~28%
+    MXU (HBM-bound conv round-trips) vs ~67% fused. Differentiable end to
+    end: the trunk is a ``jax.custom_vjp`` (``make_hybrid_trunk``) backed
+    by the fused backward kernel (XLA-remat fallback past VMEM); head/tail
+    are plain XLA. At large spatial sizes (512²+) where the kernel's
+    working set exceeds scoped VMEM the trunk falls back to the XLA
+    formulation. ``head_y``: precomputed head output
     (``chn_head_grouped``) — skips the in-function head (``x`` is then
     ignored).
     """
@@ -396,8 +397,9 @@ def chn_infer_apply(
 
     Used by bench.py, the full-video algorithms, AND the TPU training step
     (train/build.py:chn_train_fn): the trunk's ``custom_vjp`` pairs the
-    Pallas forward with an XLA-remat backward, and every other stage
-    (grouped head, tail, composite clip) is plain differentiable XLA.
+    fused Pallas forward with the fused Pallas backward (XLA-remat
+    fallback past VMEM), and every other stage (grouped head, tail,
+    composite clip) is plain differentiable XLA.
     """
     params = variables["params"]["nn"]
     b, f, h, w, c = x_refs_aligned.shape

@@ -160,9 +160,10 @@ def chn_train_fn(cfg, model) -> Callable:
 
     On TPU-class backends this is the same pure-function path as serving —
     grouped head + fused Pallas trunk + tail — which is differentiable end
-    to end (the trunk's ``custom_vjp`` rematerializes its backward through
-    the XLA twin, ops/pallas_rrdb.py:make_hybrid_trunk). Elsewhere (CPU
-    tests) the flax module keeps full-precision XLA parity semantics.
+    to end (the trunk's ``custom_vjp`` pairs the fused forward with the
+    fused backward kernel, XLA-remat fallback past VMEM,
+    ops/pallas_rrdb.py:make_hybrid_trunk). Elsewhere (CPU tests) the flax
+    module keeps full-precision XLA parity semantics.
     """
     return chn_infer_fn(cfg, model)
 
