@@ -280,6 +280,80 @@ class DFPN(nn.Module):
         )
 
 
+def dfpn_infer_apply(
+    variables,
+    x_target: jnp.ndarray,
+    m_target: jnp.ndarray,
+    x_refs: jnp.ndarray,
+    m_refs: jnp.ndarray,
+    vgg_feats_target: jnp.ndarray,
+    vgg_feats_refs: jnp.ndarray,
+    *,
+    dtype=jnp.bfloat16,
+    base_size: int = 256,
+    use_softmax: bool = False,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pure-function DFPN forward for serving: ``DFPN.__call__`` with the
+    separable 4-D conv running on the fused Pallas kernel
+    (ops/pallas_sep4d.py) instead of six XLA convs over 16x16 tiles.
+
+    Identical math and identical param tree to the flax module (the mixer
+    and the two flow estimators apply through their own modules); parity
+    is tested against ``DFPN.apply`` (tests/test_pallas_sep4d.py).
+    Reference: model_dfpn.py:46-101.
+    """
+    from master_thesis_tpu.ops.pallas_sep4d import sep4d_apply_pallas
+
+    p = variables["params"]
+    b, f, h, w, _ = x_refs.shape
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=x_target.dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype=x_target.dtype)
+    x_target = (x_target - mean) / std
+    x_refs = (x_refs - mean) / std
+
+    s256, s64 = base_size, base_size // 4
+    x_t_256, m_t_256, x_r_256, m_r_256 = transforms.resize_set_bis(
+        x_target, m_target, x_refs, m_refs, (s256, s256)
+    )
+    x_t_64, m_t_64, x_r_64, m_r_64 = transforms.resize_set_bis(
+        x_target, m_target, x_refs, m_refs, (s64, s64)
+    )
+
+    fh, fw = vgg_feats_target.shape[1:3]
+    v_target = transforms.interp.resize_hw(1 - m_t_256, (fh, fw), mode="nearest")
+    v_ref = transforms.interp.resize_hw(1 - m_r_256, (fh, fw), mode="nearest")
+
+    corr = correlation_masked_4d(
+        jax.lax.stop_gradient(vgg_feats_target),
+        v_target,
+        jax.lax.stop_gradient(vgg_feats_refs),
+        v_ref,
+    )
+    corr = sep4d_apply_pallas(
+        p["separable4d"], corr, dtype=dtype, interpret=interpret
+    )
+    if use_softmax:
+        corr = softmax_3d(corr)
+
+    flow_16 = AlignmentCorrelationMixer(
+        corr_size=base_size // 16, dtype=dtype
+    ).apply({"params": p["mixer"]}, corr)
+    flow_64_pre = flows_ops.resize_flow(flow_16, (s64, s64), mode="bilinear")
+    flow_64 = FlowEstimator(dtype=dtype).apply(
+        {"params": p["flow_64"]}, x_t_64, m_t_64, x_r_64, m_r_64, flow_64_pre
+    )
+    flow_256_pre = flows_ops.resize_flow(flow_64, (s256, s256), mode="bilinear")
+    flow_256 = FlowEstimator(dtype=dtype).apply(
+        {"params": p["flow_256"]}, x_t_256, m_t_256, x_r_256, m_r_256,
+        flow_256_pre,
+    )
+
+    return corr, flow_16, flow_64, flows_ops.resize_flow(
+        flow_256, (h, w), mode="bilinear"
+    )
+
+
 def prepare_vgg_input(x: jnp.ndarray, size: int = 256) -> jnp.ndarray:
     """ImageNet-normalize + resize to ``size``² for VGG feature extraction.
 

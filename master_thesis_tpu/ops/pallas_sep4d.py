@@ -1,0 +1,197 @@
+"""Fused Pallas kernel for the DFPN separable 4-D conv (serving path).
+
+The reference SeparableConv4d (model_dfpn.py:586-626) runs two 3-conv 2-D
+stacks over the cost volume's two 16x16 sub-spaces: stage 1 convolves
+q-space with batch (b, f, p), stage 2 convolves p-space with batch
+(b, f, q). At config-4 serving shapes that is ~4.6 TFLOP (bf16) spread
+over 5120 *tiny* 16x16 images — a shape XLA's conv tiling runs far below
+MXU peak on, with 6 full HBM round-trips of the ~670 MB hidden tensor.
+
+This kernel fuses each stage's 3 convs in VMEM over blocks of G tiles:
+activations live as ``(C, hw)`` per tile (channels on sublanes, the tile's
+flattened 256 pixels on lanes), a 3x3 tap is a lane roll + mask (the RRDB
+trunk's trick, ops/pallas_rrdb.py), and taps stack along the contraction
+axis in 3-tap groups so every matmul has K = 3*C_in — full MXU depth. One
+HBM read and one write per stage instead of six of each.
+
+The p<->q swap between stages stays in XLA (one transpose of the hidden
+tensor — inherent to the separable formulation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from master_thesis_tpu.ops.pallas_rrdb import _TAPS, _tap_masks
+
+
+def _conv_tap_weight(kernel: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) conv kernel -> (Cout, 9*Cin) tap-major matrix.
+
+    Column layout ``k*Cin + c`` (tap-major) matches the kernel's stacked
+    tap operand, so 3-tap groups slice contiguous columns.
+    """
+    _, _, cin, cout = kernel.shape
+    w = kernel.reshape(9, cin, cout)
+    return w.transpose(2, 0, 1).reshape(cout, 9 * cin).astype(dtype)
+
+
+def _accum_taps_tile(src, w_flat, masks_ref, w_img):
+    """(Cout, hw) f32 = 3x3 conv of one ``(Cin, hw)`` tile via 3-tap groups.
+
+    Rolls run in f32 (Mosaic's rotate is 32-bit only); each group's stack
+    is cast to the weights' dtype at its matmul. Center tap needs no mask.
+    """
+    cin, hw = src.shape
+    src_f32 = src.astype(jnp.float32)
+    prec = (
+        jax.lax.Precision.HIGHEST if w_flat.dtype == jnp.float32 else None
+    )
+    acc = None
+    for g0 in range(0, 9, 3):
+        taps = []
+        for k in range(g0, g0 + 3):
+            dy, dx = _TAPS[k]
+            off = dy * w_img + dx
+            if off == 0:
+                taps.append(src_f32)
+                continue
+            shifted = pltpu.roll(src_f32, (-off) % hw, 1)
+            taps.append(shifted * masks_ref[k : k + 1, :])
+        stacked = jnp.concatenate(taps, axis=0).astype(w_flat.dtype)
+        wg = w_flat[:, g0 * cin : (g0 + 3) * cin]
+        z = jax.lax.dot(
+            wg, stacked, preferred_element_type=jnp.float32, precision=prec
+        )
+        acc = z if acc is None else acc + z
+    return acc
+
+
+def _conv_stack_kernel(w_img, relus, x_ref, masks_ref, *rest):
+    """3x3 conv stack over a block of G tiles.
+
+    x_ref: ``(G, Cin, hw)``; masks_ref: ``(9, hw)`` in-tile tap validity;
+    rest = (W1, b1, W2, b2, ..., out_ref) with W in tap-major ``(Cout,
+    9*Cin)`` layout and biases ``(Cout, 1)`` f32.
+    """
+    out_ref = rest[-1]
+    wb = rest[:-1]
+    g = x_ref.shape[0]
+    for t in range(g):
+        x = x_ref[t]
+        for i, relu in enumerate(relus):
+            w, b = wb[2 * i], wb[2 * i + 1]
+            acc = _accum_taps_tile(x, w[:], masks_ref, w_img) + b[:]
+            if relu:
+                acc = jnp.maximum(acc, 0.0)
+            x = acc.astype(x_ref.dtype)
+        out_ref[t] = x.astype(out_ref.dtype)
+
+
+def conv3x3_stack_tiles(
+    x: jnp.ndarray,
+    kernels: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    relus: Sequence[bool],
+    *,
+    tile_side: int,
+    grid_tiles: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused stack of 3x3 same-pad convs over flat tiles.
+
+    Args:
+        x: ``(NT, Cin, hw)`` — NT independent ``tile_side``² tiles in
+            channel-major layout (``hw = tile_side**2`` flattened pixels).
+        kernels/biases: per conv, ``(3, 3, Cin_i, Cout_i)`` and
+            ``(Cout_i,)`` (flax Conv layout).
+        relus: per conv, apply ReLU after bias.
+
+    Returns ``(NT, Cout_last, hw)`` in ``x.dtype``.
+    """
+    nt, cin, hw = x.shape
+    assert hw == tile_side * tile_side
+    g = grid_tiles
+    while nt % g:
+        g //= 2
+    wb = []
+    for k, b in zip(kernels, biases):
+        wb.append(_conv_tap_weight(k, x.dtype))
+        wb.append(b.reshape(-1, 1).astype(jnp.float32))
+    masks = jnp.asarray(_tap_masks(tile_side, hw))
+    cout = kernels[-1].shape[-1]
+    kernel = functools.partial(_conv_stack_kernel, tile_side, tuple(relus))
+    return pl.pallas_call(
+        kernel,
+        grid=(nt // g,),
+        in_specs=[
+            pl.BlockSpec(
+                (g, cin, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wb),
+        out_specs=pl.BlockSpec(
+            (g, cout, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nt, cout, hw), x.dtype),
+        interpret=interpret,
+    )(x, masks, *wb)
+
+
+def sep4d_apply_pallas(
+    params: dict,
+    corr: jnp.ndarray,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+    grid_tiles: int = 8,
+) -> jnp.ndarray:
+    """SeparableConv4d forward on the fused kernel (serving path).
+
+    ``params``: the flax module's param subtree (conv1_0..conv2_2).
+    ``corr``: ``(B, F, cs, cs, cs, cs)`` cost volume. Matches
+    ``SeparableConv4d.__call__`` (models/dfpn.py) — stage 1 over q-space
+    with (b, f, p) batched as tiles, transpose, stage 2 over p-space.
+    """
+    b, f, h, w = corr.shape[:4]
+    hw = h * w
+    k = lambda n: params[n]["kernel"]
+    bi = lambda n: params[n]["bias"]
+
+    # Stage 1: tiles are q-images, one per (b, f, p); channel dim 1.
+    x = corr.reshape(b * f * hw, 1, hw).astype(dtype)
+    y = conv3x3_stack_tiles(
+        x,
+        [k("conv1_0"), k("conv1_1"), k("conv1_2")],
+        [bi("conv1_0"), bi("conv1_1"), bi("conv1_2")],
+        [True, True, False],
+        tile_side=h,
+        grid_tiles=grid_tiles,
+        interpret=interpret,
+    )  # (b*f*p, 256, q)
+
+    # p <-> q swap (the reference's permute, model_dfpn.py:607-611).
+    c1 = y.shape[1]
+    y = y.reshape(b * f, hw, c1, hw).transpose(0, 3, 2, 1)
+    y = y.reshape(b * f * hw, c1, hw)  # tiles are p-images, one per (b,f,q)
+
+    y = conv3x3_stack_tiles(
+        y,
+        [k("conv2_0"), k("conv2_1"), k("conv2_2")],
+        [bi("conv2_0"), bi("conv2_1"), bi("conv2_2")],
+        [True, True, False],
+        tile_side=h,
+        grid_tiles=grid_tiles,
+        interpret=interpret,
+    )  # (b*f*q, 1, p)
+
+    # (b, f, q, p_h, p_w) -> (b, f, p_h, p_w, q_h, q_w).
+    out = y.reshape(b * f, hw, hw).transpose(0, 2, 1)
+    return out.reshape(b, f, h, w, h, w)

@@ -77,11 +77,25 @@ def build_dfpn(cfg, vgg_apply: Callable, params=None, rng_seed: int = 3):
 
 def dfpn_align_fn(cfg, dfpn_model, dfpn_params, vgg_apply: Callable) -> Callable:
     """Aligner closure with the DFPN interface shared with CPN
-    (reference model_dfpn.py:103-133)."""
+    (reference model_dfpn.py:103-133).
+
+    On TPU-class backends the forward runs the pure serving twin
+    (models/dfpn.py:dfpn_infer_apply) with the separable 4-D conv on the
+    fused Pallas kernel; elsewhere the flax module."""
+    from master_thesis_tpu.models.dfpn import dfpn_infer_apply
 
     warp_precision = (
         jax.lax.Precision.DEFAULT if _dtype(cfg) == jnp.bfloat16 else None
     )
+    if cfg.use_pallas and jax.default_backend() in ("tpu", "axon"):
+        def apply_fn(p, *a):
+            return dfpn_infer_apply(
+                p, *a, dtype=_dtype(cfg), base_size=dfpn_model.base_size,
+                use_softmax=dfpn_model.use_softmax,
+            )
+    else:
+        def apply_fn(p, *a):
+            return dfpn_model.apply(p, *a)
 
     def align_fn(x_t, m_t, x_r, m_r):
         b, f, h, w, _ = x_r.shape
@@ -91,7 +105,7 @@ def dfpn_align_fn(cfg, dfpn_model, dfpn_params, vgg_apply: Callable) -> Callable
         )[3]
         feats_r = feats_r.reshape(b, f, *feats_r.shape[1:])
         return dfpn_align(
-            lambda p, *a: dfpn_model.apply(p, *a),
+            apply_fn,
             dfpn_params, x_t, m_t, x_r, m_r, feats_t, feats_r,
             warp_precision=warp_precision,
         )

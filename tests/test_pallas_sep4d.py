@@ -1,0 +1,95 @@
+"""Parity tests for the fused SeparableConv4d kernel (interpret mode) and
+the DFPN serving twin against the flax modules."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from master_thesis_tpu.models.dfpn import DFPN, SeparableConv4d, dfpn_infer_apply
+from master_thesis_tpu.ops.pallas_sep4d import conv3x3_stack_tiles
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def test_conv3x3_stack_matches_flax_convs(rng):
+    """The generic fused conv stack equals a chain of flax Convs — odd
+    channel counts, multiple tiles, non-divisible grid fallback."""
+    from flax import linen as nn
+
+    from master_thesis_tpu.models.nn_ext import Conv
+
+    nt, s, cin = 6, 8, 3
+    feats = [5, 7, 4]
+    x = jnp.asarray(rng.randn(nt, s, s, cin).astype(np.float32))
+
+    class Stack(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i, f in enumerate(feats):
+                x = Conv(
+                    features=f, kernel_size=(3, 3), padding=(1, 1),
+                    name=f"c{i}",
+                )(x)
+                if i < 2:
+                    x = nn.relu(x)
+            return x
+
+    mod = Stack()
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    want = mod.apply({"params": params}, x)
+
+    xc = x.reshape(nt, s * s, cin).transpose(0, 2, 1)  # (NT, Cin, hw)
+    got = conv3x3_stack_tiles(
+        xc,
+        [params[f"c{i}"]["kernel"] for i in range(3)],
+        [params[f"c{i}"]["bias"] for i in range(3)],
+        [True, True, False],
+        tile_side=s,
+        grid_tiles=4,  # 6 % 4 != 0 -> falls back to 2
+        interpret=True,
+    )
+    got = got.transpose(0, 2, 1).reshape(nt, s, s, feats[-1])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_sep4d_pallas_matches_module(rng):
+    """sep4d_apply_pallas == SeparableConv4d.apply (f32, interpret)."""
+    from master_thesis_tpu.ops.pallas_sep4d import sep4d_apply_pallas
+
+    b, f, cs = 1, 2, 8
+    corr = jnp.asarray(rng.randn(b, f, cs, cs, cs, cs).astype(np.float32))
+    mod = SeparableConv4d(dtype=jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), corr)["params"]
+    want = mod.apply({"params": params}, corr)
+    got = sep4d_apply_pallas(
+        params, corr, dtype=jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+def test_dfpn_infer_apply_matches_module(rng):
+    """The DFPN serving twin (Pallas sep4d, interpret) == DFPN.apply on all
+    four outputs at the scaled-down 64 base."""
+    base, h, w, b, f = 64, 64, 64, 1, 2
+    model = DFPN(dtype=jnp.float32, base_size=base)
+    x_t = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    m_t = jnp.asarray((rng.rand(b, h, w, 1) > 0.8).astype(np.float32))
+    x_r = jnp.asarray(rng.rand(b, f, h, w, 3).astype(np.float32))
+    m_r = jnp.asarray((rng.rand(b, f, h, w, 1) > 0.8).astype(np.float32))
+    cs = base // 16
+    f_t = jnp.asarray(rng.randn(b, cs, cs, 512).astype(np.float32))
+    f_r = jnp.asarray(rng.randn(b, f, cs, cs, 512).astype(np.float32))
+
+    variables = model.init(jax.random.PRNGKey(0), x_t, m_t, x_r, m_r, f_t, f_r)
+    want = model.apply(variables, x_t, m_t, x_r, m_r, f_t, f_r)
+    got = dfpn_infer_apply(
+        variables, x_t, m_t, x_r, m_r, f_t, f_r,
+        dtype=jnp.float32, base_size=base, interpret=True,
+    )
+    assert len(got) == len(want) == 4
+    for g, wnt in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wnt), atol=2e-4)
