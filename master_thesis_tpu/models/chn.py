@@ -311,6 +311,7 @@ def rrdbnet_infer_apply(
     ignored).
     """
     from master_thesis_tpu.ops.pallas_rrdb import make_hybrid_trunk
+    from master_thesis_tpu.ops.pallas_tail import make_hybrid_tail
 
     y = head_y if head_y is not None else rrdbnet_head_forward(params, x, dtype)
     trunk_params = {k: v for k, v in params.items() if k.startswith("rrdb_")}
@@ -318,7 +319,17 @@ def rrdbnet_infer_apply(
         nb, nf, gc, dtype, use_pallas=pallas_trunk, interpret=interpret
     )(y, trunk_params)
     y = y + _conv_nhwc(trunk, params["trunk_conv_kernel"], params["trunk_conv_bias"], dtype=dtype)
-    return rrdbnet_tail_forward(params, y, dtype)
+    tail_params = {
+        k: params[k]
+        for k in (
+            "upconv1_kernel", "upconv1_bias", "upconv2_kernel",
+            "upconv2_bias", "hr_conv_kernel", "hr_conv_bias",
+            "conv_last_kernel", "conv_last_bias",
+        )
+    }
+    return make_hybrid_tail(
+        dtype, use_pallas=pallas_trunk, interpret=interpret
+    )(y, tail_params)
 
 
 class RRDBNet(nn.Module):
