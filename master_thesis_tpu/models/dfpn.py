@@ -303,7 +303,10 @@ def dfpn_infer_apply(
     is tested against ``DFPN.apply`` (tests/test_pallas_sep4d.py).
     Reference: model_dfpn.py:46-101.
     """
-    from master_thesis_tpu.ops.pallas_sep4d import sep4d_apply_pallas
+    from master_thesis_tpu.ops.pallas_sep4d import (
+        mixer_apply_pallas,
+        sep4d_apply_pallas,
+    )
 
     p = variables["params"]
     b, f, h, w, _ = x_refs.shape
@@ -336,9 +339,10 @@ def dfpn_infer_apply(
     if use_softmax:
         corr = softmax_3d(corr)
 
-    flow_16 = AlignmentCorrelationMixer(
-        corr_size=base_size // 16, dtype=dtype
-    ).apply({"params": p["mixer"]}, corr)
+    flow_16 = mixer_apply_pallas(
+        p["mixer"], corr, corr_size=base_size // 16, dtype=dtype,
+        interpret=interpret,
+    )
     flow_64_pre = flows_ops.resize_flow(flow_16, (s64, s64), mode="bilinear")
     flow_64 = FlowEstimator(dtype=dtype).apply(
         {"params": p["flow_64"]}, x_t_64, m_t_64, x_r_64, m_r_64, flow_64_pre

@@ -33,40 +33,68 @@ from master_thesis_tpu.ops.pallas_rrdb import _TAPS, _tap_masks
 
 
 def _conv_tap_weight(kernel: jnp.ndarray, dtype) -> jnp.ndarray:
-    """(3, 3, Cin, Cout) conv kernel -> (Cout, 9*Cin) tap-major matrix.
+    """(k, k, Cin, Cout) conv kernel -> (Cout, k²*Cin) tap-major matrix.
 
-    Column layout ``k*Cin + c`` (tap-major) matches the kernel's stacked
-    tap operand, so 3-tap groups slice contiguous columns.
+    Column layout ``t*Cin + c`` (tap-major, dy-major tap order) matches
+    the kernel's stacked tap operand, so 3-tap groups slice contiguous
+    columns.
     """
-    _, _, cin, cout = kernel.shape
-    w = kernel.reshape(9, cin, cout)
-    return w.transpose(2, 0, 1).reshape(cout, 9 * cin).astype(dtype)
+    kh, kw, cin, cout = kernel.shape
+    w = kernel.reshape(kh * kw, cin, cout)
+    return w.transpose(2, 0, 1).reshape(cout, kh * kw * cin).astype(dtype)
 
 
-def _accum_taps_tile(src, w_flat, masks_ref, w_img):
-    """(Cout, hw) f32 = 3x3 conv of one ``(Cin, hw)`` tile via 3-tap groups.
+def _tap_masks_r(w_img: int, hw: int, r: int) -> np.ndarray:
+    """((2r+1)², hw) f32 validity planes for radius-``r`` taps over a flat
+    ``hw = h*w_img`` tile (generalizes pallas_rrdb._tap_masks to 5x5+)."""
+    pos = np.arange(hw)
+    col = pos % w_img
+    n = 2 * r + 1
+    masks = np.empty((n * n, hw), np.float32)
+    for i, dy in enumerate(range(-r, r + 1)):
+        for j, dx in enumerate(range(-r, r + 1)):
+            off = dy * w_img + dx
+            valid = (col + dx >= 0) & (col + dx < w_img)
+            valid &= (pos + off >= 0) & (pos + off < hw)
+            masks[i * n + j] = valid
+    return masks
 
-    Rolls run in f32 (Mosaic's rotate is 32-bit only); each group's stack
-    is cast to the weights' dtype at its matmul. Center tap needs no mask.
+
+def _accum_taps_tile(src, w_flat, masks_ref, w_img, ksize=3, mask_r=1):
+    """(Cout, hw) f32 = ``ksize``² conv of one ``(Cin, hw)`` tile via
+    3-tap groups (K = 3*Cin per matmul — full MXU contraction depth).
+
+    ``masks_ref`` holds radius-``mask_r`` validity planes (dy-major); the
+    conv's own radius may be smaller. Rolls run in f32 (Mosaic's rotate is
+    32-bit only); each group's stack is cast to the weights' dtype at its
+    matmul. The center tap needs no mask.
     """
     cin, hw = src.shape
+    r = ksize // 2
+    n_m = 2 * mask_r + 1
+    taps_all = [
+        (dy, dx)
+        for dy in range(-r, r + 1)
+        for dx in range(-r, r + 1)
+    ]
     src_f32 = src.astype(jnp.float32)
     prec = (
         jax.lax.Precision.HIGHEST if w_flat.dtype == jnp.float32 else None
     )
     acc = None
-    for g0 in range(0, 9, 3):
+    for g0 in range(0, len(taps_all), 3):
+        group = taps_all[g0 : g0 + 3]
         taps = []
-        for k in range(g0, g0 + 3):
-            dy, dx = _TAPS[k]
+        for dy, dx in group:
             off = dy * w_img + dx
             if off == 0:
                 taps.append(src_f32)
                 continue
+            k_m = (dy + mask_r) * n_m + (dx + mask_r)
             shifted = pltpu.roll(src_f32, (-off) % hw, 1)
-            taps.append(shifted * masks_ref[k : k + 1, :])
+            taps.append(shifted * masks_ref[k_m : k_m + 1, :])
         stacked = jnp.concatenate(taps, axis=0).astype(w_flat.dtype)
-        wg = w_flat[:, g0 * cin : (g0 + 3) * cin]
+        wg = w_flat[:, g0 * cin : (g0 + len(group)) * cin]
         z = jax.lax.dot(
             wg, stacked, preferred_element_type=jnp.float32, precision=prec
         )
@@ -74,28 +102,32 @@ def _accum_taps_tile(src, w_flat, masks_ref, w_img):
     return acc
 
 
-def _conv_stack_kernel(w_img, relus, x_ref, masks_ref, *rest):
-    """3x3 conv stack over a block of G tiles.
+def _conv_stack_kernel(w_img, mask_r, spec, x_ref, masks_ref, *rest):
+    """Conv stack over a block of G tiles.
 
-    x_ref: ``(G, Cin, hw)``; masks_ref: ``(9, hw)`` in-tile tap validity;
-    rest = (W1, b1, W2, b2, ..., out_ref) with W in tap-major ``(Cout,
-    9*Cin)`` layout and biases ``(Cout, 1)`` f32.
+    x_ref: ``(G, Cin, hw)``; masks_ref: ``((2*mask_r+1)², hw)`` in-tile
+    tap validity; spec: per conv ``(ksize, relu)``; rest = (W1, b1, W2,
+    b2, ..., out_ref) with W in tap-major ``(Cout, k²*Cin)`` layout and
+    biases ``(Cout, 1)`` f32.
     """
     out_ref = rest[-1]
     wb = rest[:-1]
     g = x_ref.shape[0]
     for t in range(g):
         x = x_ref[t]
-        for i, relu in enumerate(relus):
+        for i, (ksize, relu) in enumerate(spec):
             w, b = wb[2 * i], wb[2 * i + 1]
-            acc = _accum_taps_tile(x, w[:], masks_ref, w_img) + b[:]
+            acc = (
+                _accum_taps_tile(x, w[:], masks_ref, w_img, ksize, mask_r)
+                + b[:]
+            )
             if relu:
                 acc = jnp.maximum(acc, 0.0)
             x = acc.astype(x_ref.dtype)
         out_ref[t] = x.astype(out_ref.dtype)
 
 
-def conv3x3_stack_tiles(
+def conv_stack_tiles(
     x: jnp.ndarray,
     kernels: Sequence[jnp.ndarray],
     biases: Sequence[jnp.ndarray],
@@ -105,13 +137,13 @@ def conv3x3_stack_tiles(
     grid_tiles: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused stack of 3x3 same-pad convs over flat tiles.
+    """Fused stack of odd-size same-pad convs over flat tiles.
 
     Args:
         x: ``(NT, Cin, hw)`` — NT independent ``tile_side``² tiles in
             channel-major layout (``hw = tile_side**2`` flattened pixels).
-        kernels/biases: per conv, ``(3, 3, Cin_i, Cout_i)`` and
-            ``(Cout_i,)`` (flax Conv layout).
+        kernels/biases: per conv, ``(k, k, Cin_i, Cout_i)`` (odd ``k``)
+            and ``(Cout_i,)`` (flax Conv layout).
         relus: per conv, apply ReLU after bias.
 
     Returns ``(NT, Cout_last, hw)`` in ``x.dtype``.
@@ -121,13 +153,15 @@ def conv3x3_stack_tiles(
     g = grid_tiles
     while nt % g:
         g //= 2
+    spec = tuple((k.shape[0], r) for k, r in zip(kernels, relus))
+    mask_r = max(k.shape[0] for k in kernels) // 2
     wb = []
     for k, b in zip(kernels, biases):
         wb.append(_conv_tap_weight(k, x.dtype))
         wb.append(b.reshape(-1, 1).astype(jnp.float32))
-    masks = jnp.asarray(_tap_masks(tile_side, hw))
+    masks = jnp.asarray(_tap_masks_r(tile_side, hw, mask_r))
     cout = kernels[-1].shape[-1]
-    kernel = functools.partial(_conv_stack_kernel, tile_side, tuple(relus))
+    kernel = functools.partial(_conv_stack_kernel, tile_side, mask_r, spec)
     return pl.pallas_call(
         kernel,
         grid=(nt // g,),
@@ -144,6 +178,10 @@ def conv3x3_stack_tiles(
         out_shape=jax.ShapeDtypeStruct((nt, cout, hw), x.dtype),
         interpret=interpret,
     )(x, masks, *wb)
+
+
+# Backward-compat alias (3x3-only callers).
+conv3x3_stack_tiles = conv_stack_tiles
 
 
 def sep4d_apply_pallas(
@@ -195,3 +233,42 @@ def sep4d_apply_pallas(
     # (b, f, q, p_h, p_w) -> (b, f, p_h, p_w, q_h, q_w).
     out = y.reshape(b * f, hw, hw).transpose(0, 2, 1)
     return out.reshape(b, f, h, w, h, w)
+
+
+def mixer_apply_pallas(
+    params: dict,
+    corr: jnp.ndarray,
+    corr_size: int = 16,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """AlignmentCorrelationMixer forward on the fused kernel.
+
+    The mixer (models/dfpn.py, reference model_dfpn.py:629-674) is 14
+    convs (5x5/3x3 mix, channels 256 -> ... -> 2) over (B·F) tiny
+    ``cs``x``cs`` images — the same XLA-hostile shape class as the
+    separable 4-D conv. One fused kernel, tiles = (b, f) pairs with
+    p-space as channels (the flax module's own layout, so the input needs
+    NO transpose: ``corr.reshape(b*f, cs², cs²)`` is already
+    channel-major).
+    """
+    b, f = corr.shape[:2]
+    cs = corr_size
+    hw = cs * cs
+    x = corr.reshape(b * f, cs * cs, hw).astype(dtype)
+
+    schedule = [
+        (cs**2, 5, True), (cs**2, 3, True), (cs, 3, True),
+        (cs, 5, True), (cs, 3, True), (cs // 2, 3, True),
+        (cs // 2, 5, True), (cs // 2, 3, True), (cs // 4, 3, True),
+        (cs // 4, 5, True), (cs // 4, 3, True), (2, 3, False),
+        (2, 5, False), (2, 3, False),
+    ]
+    kernels = [params[f"mixer_{i}"]["kernel"] for i in range(len(schedule))]
+    biases = [params[f"mixer_{i}"]["bias"] for i in range(len(schedule))]
+    relus = [r for (_, _, r) in schedule]
+    y = conv_stack_tiles(
+        x, kernels, biases, relus, tile_side=cs, grid_tiles=8,
+        interpret=interpret,
+    )  # (b*f, 2, hw)
+    return y.reshape(b, f, 2, cs, cs).transpose(0, 1, 3, 4, 2)

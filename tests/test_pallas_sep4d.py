@@ -71,6 +71,27 @@ def test_sep4d_pallas_matches_module(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
 
+def test_mixer_pallas_matches_module(rng):
+    """mixer_apply_pallas == AlignmentCorrelationMixer.apply (f32,
+    interpret) at production corr_size=16 — exercises the 5x5 taps and
+    the narrow-channel stages."""
+    from master_thesis_tpu.models.dfpn import AlignmentCorrelationMixer
+    from master_thesis_tpu.ops.pallas_sep4d import mixer_apply_pallas
+
+    b, f, cs = 1, 2, 16
+    corr = jnp.asarray(
+        rng.randn(b, f, cs, cs, cs, cs).astype(np.float32) * 0.5
+    )
+    mod = AlignmentCorrelationMixer(corr_size=cs, dtype=jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), corr)["params"]
+    want = mod.apply({"params": params}, corr)
+    got = mixer_apply_pallas(
+        params, corr, corr_size=cs, dtype=jnp.float32, interpret=True
+    )
+    assert got.shape == want.shape == (b, f, cs, cs, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
 def test_dfpn_infer_apply_matches_module(rng):
     """The DFPN serving twin (Pallas sep4d, interpret) == DFPN.apply on all
     four outputs at the scaled-down 64 base."""
