@@ -295,20 +295,21 @@ def rrdbnet_tail_forward(params, y, dtype):
 def rrdbnet_infer_apply(
     params, x, nb: int, nf: int = 64, gc: int = 32,
     dtype=jnp.bfloat16, pallas_trunk: bool = True, interpret: bool = False,
-    head_y=None,
+    head_y=None, pallas_tail: bool = True,
 ):
     """Pure-function RRDBNet forward for inference/serving AND training.
 
     Identical math to ``RRDBNet.__call__`` but with the trunk running as the
     fused Pallas kernel (ops/pallas_rrdb.py) — the XLA trunk measures ~28%
-    MXU (HBM-bound conv round-trips) vs ~67% fused. Differentiable end to
-    end: the trunk is a ``jax.custom_vjp`` (``make_hybrid_trunk``) backed
-    by the fused backward kernel (XLA-remat fallback past VMEM); head/tail
-    are plain XLA. At large spatial sizes (512²+) where the kernel's
-    working set exceeds scoped VMEM the trunk falls back to the XLA
-    formulation. ``head_y``: precomputed head output
-    (``chn_head_grouped``) — skips the in-function head (``x`` is then
-    ignored).
+    MXU (HBM-bound conv round-trips) vs ~67% fused — and the tail as the
+    phase-space kernel (ops/pallas_tail.py). Differentiable end to end:
+    the trunk is a ``jax.custom_vjp`` (``make_hybrid_trunk``) backed by
+    the fused backward kernel (XLA-remat fallback past VMEM); the tail's
+    ``custom_vjp`` rematerializes through the XLA twin. At large spatial
+    sizes (512²+) where the kernels' working sets exceed the VMEM window
+    both fall back to the XLA formulations. ``head_y``: precomputed head
+    output (``chn_head_grouped``) — skips the in-function head (``x`` is
+    then ignored).
     """
     from master_thesis_tpu.ops.pallas_rrdb import make_hybrid_trunk
     from master_thesis_tpu.ops.pallas_tail import make_hybrid_tail
@@ -328,7 +329,7 @@ def rrdbnet_infer_apply(
         )
     }
     return make_hybrid_tail(
-        dtype, use_pallas=pallas_trunk, interpret=interpret
+        dtype, use_pallas=pallas_trunk and pallas_tail, interpret=interpret
     )(y, tail_params)
 
 
@@ -401,7 +402,8 @@ class RRDBNet(nn.Module):
 def chn_infer_apply(
     variables, x_target, v_target, x_refs_aligned, v_refs_aligned, v_maps,
     nb: int = 20, nf: int = 64, gc: int = 32, dtype=jnp.bfloat16,
-    interpret: bool = False,
+    interpret: bool = False, pallas_trunk: bool = True,
+    pallas_tail: bool = True,
 ):
     """Pure-function CHN forward: identical math to ``CHN.__call__`` with
     the RRDB trunk running as the fused Pallas kernel.
@@ -422,7 +424,7 @@ def chn_infer_apply(
     )
     nn_output = rrdbnet_infer_apply(
         params, None, nb=nb, nf=nf, gc=gc, dtype=dtype, interpret=interpret,
-        head_y=head_y,
+        head_y=head_y, pallas_trunk=pallas_trunk, pallas_tail=pallas_tail,
     ).reshape(b, f, h, w, 3)
     x_t = jnp.broadcast_to(x_target[:, None], (b, f, h, w, c))
     v_t = jnp.broadcast_to(v_target[:, None], (b, f, h, w, 1))

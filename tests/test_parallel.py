@@ -204,6 +204,58 @@ print("DFPN-DP-SP-STEP-OK")
     assert "DFPN-DP-SP-STEP-OK" in out
 
 
+def test_chn_serving_dp_matches_unsharded():
+    """The SERVING step (CPN align + chn_infer_apply, the bench.py graph)
+    under a data-parallel batch sharding == unsharded. Exercises SPMD
+    partitioning of serving-only graph structure the train tests don't
+    cover: the grouped head's single-zero-frame bias term and the
+    source-grouped composed-head convs (XLA trunk path; the Pallas
+    kernels don't lower on CPU)."""
+    out = _run_clean(
+        """
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from master_thesis_tpu.models.chn import CHN, chn_infer_apply
+from master_thesis_tpu.models.cpn import CPN
+from master_thesis_tpu.parallel import make_mesh
+
+mesh = make_mesh(data=8, model=1)
+b, f, h, w = 8, 2, 32, 32
+rng = np.random.RandomState(0)
+key = jax.random.PRNGKey(0)
+z = jnp.zeros
+cpn = CPN(dtype=jnp.float32)
+chn = CHN(nb=2, nf=16, gc=8)
+cpn_p = cpn.init(key, z((1, h, w, 3)), z((1, h, w, 1)),
+                 z((1, 1, h, w, 3)), z((1, 1, h, w, 1)))
+chn_p = chn.init(key, z((1, h, w, 3)), z((1, h, w, 1)), z((1, 1, h, w, 3)),
+                 z((1, 1, h, w, 1)), z((1, 1, h, w, 1)))
+
+def step(cp, hp, x_t, m_t, x_r, m_r):
+    xa, va, vm = cpn.apply(cp, x_t, m_t, x_r, m_r, method=CPN.align)
+    _, comp = chn_infer_apply(hp, x_t, 1 - m_t, xa, va, vm, nb=2, nf=16,
+                              gc=8, dtype=jnp.float32, pallas_trunk=False)
+    return comp
+
+x_t = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+m_t = jnp.asarray((rng.rand(b, h, w, 1) > 0.8).astype(np.float32))
+x_r = jnp.asarray(rng.rand(b, f, h, w, 3).astype(np.float32))
+m_r = jnp.asarray((rng.rand(b, f, h, w, 1) > 0.8).astype(np.float32))
+
+want = jax.jit(step)(cpn_p, chn_p, x_t, m_t, x_r, m_r)
+dp = NamedSharding(mesh, P("data"))
+repl = NamedSharding(mesh, P())
+sharded = jax.jit(step, in_shardings=(repl, repl, dp, dp, dp, dp))
+got = sharded(jax.device_put(cpn_p, repl), jax.device_put(chn_p, repl),
+              jax.device_put(x_t, dp), jax.device_put(m_t, dp),
+              jax.device_put(x_r, dp), jax.device_put(m_r, dp))
+np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+print("SERVE-DP-OK")
+""",
+    )
+    assert "SERVE-DP-OK" in out
+
+
 def test_production_shape_sharded_compile():
     """Compile-only (no execute) of the PRODUCTION-shape sharded train
     steps on the 8-device mesh: CHN nb=20 @256² B=8 F=5 with DP+SP, and
