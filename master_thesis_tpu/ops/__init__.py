@@ -6,5 +6,8 @@ from master_thesis_tpu.ops import (  # noqa: F401
     losses,
     measures,
     movements,
+    pallas_rrdb,
+    pallas_sep4d,
+    pallas_tail,
     transforms,
 )

@@ -109,8 +109,21 @@ def _tail_kernel(
 ):
     """Whole tail for one frame. x_ref: (1, nf, HW) 64²-grid input;
     out_ref: (1, 48, HW) = 16 final phases x 3 channels (phase-major)."""
-    x = x_ref[0]
-    dt = x_ref.dtype
+    out_ref[0] = _tail_body(
+        w_img, nf, x_ref[0], masks_ref, w1, bias1, w2, bias2, whr, bias_hr,
+        wl, bias_l, out_ref.dtype,
+    )
+
+
+def _tail_body(
+    w_img, nf, x, masks, w1, bias1, w2, bias2, whr, bias_hr, wl, bias_l,
+    out_dtype,
+):
+    """Tail compute on a VMEM-resident ``(nf, HW)`` block -> (48, HW).
+
+    ``masks`` may be a ref or a loaded (9, HW) array (banded path)."""
+    dt = x.dtype
+    masks_ref = masks
 
     # Stage A: fused upconv1 — one 9-tap conv, phases packed in channels.
     h1_full = _lrelu(
@@ -164,7 +177,28 @@ def _tail_kernel(
                     w_img, cache,
                 )
             )
-    out_ref[0] = jnp.concatenate(outs, axis=0).astype(out_ref.dtype)
+    return jnp.concatenate(outs, axis=0).astype(out_dtype)
+
+
+def _tail_band_kernel(w_img, nf, x_ref, masks_ref, *rest):
+    """Banded variant: one (frame, band) tail step. x_ref: (1, 1, nf,
+    BHW); masks_ref: (1, 9, BHW) band-specific validity planes (frame-row
+    term included, pallas_rrdb._band_tap_masks)."""
+    out_ref = rest[-1]
+    out_ref[0, 0] = _tail_body(
+        w_img, nf, x_ref[0, 0], masks_ref[0], *rest[:-1],
+        out_ref.dtype,
+    )
+
+
+_TAIL_HALO = 4  # one base-grid row of halo per conv stage (A, B, C, D)
+
+
+def _tail_band_rows(nf: int, w_img: int, itemsize: int = 2) -> int:
+    """Largest interior band height whose phase planes + transients fit
+    the kernel's VMEM window (see :func:`tail_pallas_fits`)."""
+    lanes = (72 << 20) // (60 * nf * itemsize)
+    return max(lanes // w_img - 2 * _TAIL_HALO, 0)
 
 
 def _tail_tap_weights(params: dict, nf: int, dtype):
@@ -195,36 +229,86 @@ def rrdbnet_tail_pallas(
     y: jnp.ndarray,
     dtype=jnp.bfloat16,
     interpret: bool = False,
+    band_rows: int = 0,
 ) -> jnp.ndarray:
     """Fused tail: ``(N, s, s, nf)`` 64²-grid input -> ``(N, 4s, 4s, 3)``.
 
     Matches ``rrdbnet_tail_forward`` (models/chn.py) exactly — same fused
     4-phase kernels, upsampled-conv border semantics included (the phase
     offsets' validity masks reproduce the zero pad at every resolution).
+    Past the full-frame VMEM window (512² serving: s=128) the frame is
+    processed in row bands with a 4-row halo per side (one per conv
+    stage); band tap masks add the frame-row validity term so pad rows
+    contribute exact zeros (pallas_rrdb._band_tap_masks).
     """
     n, s, _, nf = y.shape
     hw = s * s
     wb = _tail_tap_weights(params, nf, dtype)
-    masks = jnp.asarray(_tap_masks(s, hw))
     x = y.reshape(n, hw, nf).transpose(0, 2, 1).astype(dtype)
-    kernel = functools.partial(_tail_kernel, s, nf)
-    frame_in = pl.BlockSpec(
-        (1, nf, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
+    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n,),
-        in_specs=[frame_in, whole] + [whole] * len(wb),
-        out_specs=pl.BlockSpec(
-            (1, 48, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, 48, hw), dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(x, masks, *wb)
+
+    if not band_rows and tail_pallas_fits(nf, hw):
+        masks = jnp.asarray(_tap_masks(s, hw))
+        kernel = functools.partial(_tail_kernel, s, nf)
+        frame_in = pl.BlockSpec(
+            (1, nf, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(n,),
+            in_specs=[frame_in, whole] + [whole] * len(wb),
+            out_specs=pl.BlockSpec(
+                (1, 48, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, 48, hw), dtype),
+            compiler_params=cp,
+            interpret=interpret,
+        )(x, masks, *wb)
+    else:
+        from master_thesis_tpu.ops.pallas_rrdb import _band_tap_masks
+
+        halo = _TAIL_HALO
+        br = band_rows or _tail_band_rows(nf, s)
+        br = min(br, s)
+        n_bands = -(-s // br)
+        rows = br + 2 * halo
+        bhw = rows * s
+        hp = n_bands * br + 2 * halo
+        xi = x.reshape(n, nf, s, s)
+        pad = jnp.pad(xi, ((0, 0), (0, 0), (halo, hp - halo - s), (0, 0)))
+        bands = jnp.stack(
+            [pad[:, :, b * br : b * br + rows] for b in range(n_bands)],
+            axis=1,
+        ).reshape(n, n_bands, nf, bhw)
+        masks = jnp.asarray(_band_tap_masks(s, br, halo, n_bands, s))
+        kernel = functools.partial(_tail_band_kernel, s, nf)
+        bout = pl.pallas_call(
+            kernel,
+            grid=(n, n_bands),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, nf, bhw), lambda i, j: (i, j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 9, bhw), lambda i, j: (j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            + [whole] * len(wb),
+            out_specs=pl.BlockSpec(
+                (1, 1, 48, bhw), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, n_bands, 48, bhw), dtype),
+            compiler_params=cp,
+            interpret=interpret,
+        )(bands, masks, *wb)
+        interior = bout[..., halo * s : (halo + br) * s]
+        out = interior.transpose(0, 2, 1, 3).reshape(n, 48, n_bands * br * s)
+        out = out[..., : hw]
+
     # (N, (qy,qx,c), HW) -> (N, 4s, 4s, 3): one 4x-phase interleave.
     out = out.reshape(n, 4, 4, 3, s, s).transpose(0, 4, 1, 5, 2, 3)
     return out.reshape(n, 4 * s, 4 * s, 3)
@@ -257,7 +341,11 @@ def make_hybrid_tail(dtype=jnp.bfloat16, use_pallas: bool = True,
 
     def _impl(y, params):
         n, s, _, nf = y.shape
-        if use_pallas and (interpret or tail_pallas_fits(nf, s * s)):
+        if use_pallas and (
+            interpret
+            or tail_pallas_fits(nf, s * s)
+            or _tail_band_rows(nf, s) >= 8
+        ):
             return rrdbnet_tail_pallas(params, y, dtype, interpret=interpret)
         return xla_fn(y, params)
 

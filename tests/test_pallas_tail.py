@@ -76,7 +76,24 @@ def test_hybrid_tail_grads_match_xla(rng):
         )
 
 
+def test_tail_banded_matches_xla(rng):
+    """Forced multi-band tail (3 bands of 4 interior rows, 4-row halos
+    crossing both frame borders) == rrdbnet_tail_forward."""
+    nf, s, n = 16, 12, 2
+    params = _tail_params(rng, nf)
+    y = jnp.asarray(rng.randn(n, s, s, nf).astype(np.float32))
+    want = rrdbnet_tail_forward(params, y, jnp.float32)
+    got = rrdbnet_tail_pallas(
+        params, y, jnp.float32, interpret=True, band_rows=4
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
 def test_tail_fits_thresholds():
-    """256² serving (tail input 64²) takes the kernel; 512² falls back."""
+    """256² serving (tail input 64²) takes the full-frame kernel; 512²
+    (tail input 128²) exceeds it but stays on the kernel via row bands."""
+    from master_thesis_tpu.ops.pallas_tail import _tail_band_rows
+
     assert tail_pallas_fits(64, 64 * 64)
     assert not tail_pallas_fits(64, 128 * 128)
+    assert _tail_band_rows(64, 128) >= 8
