@@ -21,7 +21,6 @@ tested against the flax module in interpret mode.
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

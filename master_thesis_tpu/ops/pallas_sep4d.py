@@ -21,7 +21,7 @@ tensor — inherent to the separable formulation).
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from master_thesis_tpu.ops.pallas_rrdb import _TAPS, _tap_masks
+from master_thesis_tpu.ops.pallas_rrdb import _tap_masks
 
 
 def _conv_tap_weight(kernel: jnp.ndarray, dtype) -> jnp.ndarray:
