@@ -147,6 +147,36 @@ def _conv_nhwc(x, kernel, bias=None, stride=1, pad=1, dtype=jnp.float32):
 _HEAD_STRIDES = (1, 1, 2, 1, 2)
 
 
+def _conv15s4_s2d(x, w_eff, dtype):
+    """The composed 15x15 stride-4 head conv as space-to-depth + a dense
+    4x4 stride-1 conv — exact rearrangement.
+
+    A 225-tap stride-4 conv is a shape XLA tiles poorly on TPU (measured
+    ~5% MXU); folding the stride into the layout gives a 4x4 conv over
+    16x channels at 1/4 resolution — identical FLOPs, MXU-dense. With
+    pad=7, tap ``ky`` maps to base offset ``floor((ky-7)/4)`` in
+    {-2..1} and phase ``(ky-7) mod 4`` — a 4x4 kernel with asymmetric
+    (2, 1) padding.
+    """
+    b, hh, ww, c = x.shape
+    kh, kw, _, o = w_eff.shape  # (15, 15, c, o)
+    x4 = x.reshape(b, hh // 4, 4, ww // 4, 4, c).transpose(0, 1, 3, 2, 4, 5)
+    x4 = x4.reshape(b, hh // 4, ww // 4, 16 * c)
+    w4 = jnp.zeros((4, 4, 4, 4, c, o), w_eff.dtype)
+    for ky in range(kh):
+        d_y, p_y = divmod(ky - 7, 4)
+        for kx in range(kw):
+            d_x, p_x = divmod(kx - 7, 4)
+            w4 = w4.at[d_y + 2, d_x + 2, p_y, p_x].set(w_eff[ky, kx])
+    w4 = w4.reshape(4, 4, 16 * c, o)
+    return jax.lax.conv_general_dilated(
+        x4.astype(dtype), w4.astype(dtype),
+        window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _head_scaffold(params, shape_hw, dtype):
     """Shared machinery of the composed head: the 5-layer nested runner,
     the composed 15x15 stride-4 kernel, and the border-band applier.
@@ -211,7 +241,7 @@ def rrdbnet_head_forward(params, x, dtype):
     if degenerate:
         return run_nested(x)
     return finish(
-        lambda w_eff: _conv_nhwc(x, w_eff, stride=4, pad=7, dtype=dtype),
+        lambda w_eff: _conv15s4_s2d(x, w_eff, dtype),
         lambda sl_h, sl_w: x[:, sl_h, sl_w],
     )
 
@@ -259,14 +289,11 @@ def chn_head_grouped(params, x_t_n, v_t, x_r_n, v_r, v_m, dtype):
     def apply_composed(w_eff):
         w_tgt = w_eff[:, :, (0, 1, 2, 6), :]  # x_t (3) + v_t
         w_ref = w_eff[:, :, (3, 4, 5, 7, 8), :]  # x_ref (3) + v_ref + v_map
-        y_t = _conv_nhwc(
-            jnp.concatenate([x_t_n, v_t], axis=-1), w_tgt, stride=4, pad=7,
-            dtype=dtype,
+        y_t = _conv15s4_s2d(
+            jnp.concatenate([x_t_n, v_t], axis=-1), w_tgt, dtype
         )  # (B, H/4, W/4, nf) — once per target
         ref_in = jnp.concatenate([x_r_n, v_r, v_m], axis=-1)
-        y_r = _conv_nhwc(
-            ref_in.reshape(b * f, hh, ww, 5), w_ref, stride=4, pad=7, dtype=dtype
-        )
+        y_r = _conv15s4_s2d(ref_in.reshape(b * f, hh, ww, 5), w_ref, dtype)
         return y_r + jnp.broadcast_to(
             y_t[:, None], (b, f) + y_t.shape[1:]
         ).reshape(y_r.shape)
