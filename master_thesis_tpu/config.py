@@ -99,6 +99,10 @@ class Config:
     mesh_model: int = 1
     donate_buffers: bool = True
     use_pallas: bool = True  # fused Pallas kernels on TPU for hot ops
+    # Escape hatch: keep the fused trunk forward but train with the
+    # XLA-remat backward (exact gradient of the XLA twin) instead of the
+    # fused backward kernel.
+    use_pallas_bwd: bool = True
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
     def __post_init__(self):
@@ -175,6 +179,7 @@ class Config:
         parser.add_argument("--mesh_model", type=int, default=1)
         parser.add_argument("--donate_buffers", default=True, **boolean)
         parser.add_argument("--use_pallas", default=True, **boolean)
+        parser.add_argument("--use_pallas_bwd", default=True, **boolean)
         parser.add_argument("--profile_dir")
         return parser
 

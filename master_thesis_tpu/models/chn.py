@@ -322,7 +322,7 @@ def rrdbnet_tail_forward(params, y, dtype):
 def rrdbnet_infer_apply(
     params, x, nb: int, nf: int = 64, gc: int = 32,
     dtype=jnp.bfloat16, pallas_trunk: bool = True, interpret: bool = False,
-    head_y=None, pallas_tail: bool = True,
+    head_y=None, pallas_tail: bool = True, pallas_bwd: bool = True,
 ):
     """Pure-function RRDBNet forward for inference/serving AND training.
 
@@ -344,7 +344,8 @@ def rrdbnet_infer_apply(
     y = head_y if head_y is not None else rrdbnet_head_forward(params, x, dtype)
     trunk_params = {k: v for k, v in params.items() if k.startswith("rrdb_")}
     trunk = make_hybrid_trunk(
-        nb, nf, gc, dtype, use_pallas=pallas_trunk, interpret=interpret
+        nb, nf, gc, dtype, use_pallas=pallas_trunk, interpret=interpret,
+        pallas_bwd=pallas_bwd,
     )(y, trunk_params)
     y = y + _conv_nhwc(trunk, params["trunk_conv_kernel"], params["trunk_conv_bias"], dtype=dtype)
     tail_params = {
@@ -430,7 +431,7 @@ def chn_infer_apply(
     variables, x_target, v_target, x_refs_aligned, v_refs_aligned, v_maps,
     nb: int = 20, nf: int = 64, gc: int = 32, dtype=jnp.bfloat16,
     interpret: bool = False, pallas_trunk: bool = True,
-    pallas_tail: bool = True,
+    pallas_tail: bool = True, pallas_bwd: bool = True,
 ):
     """Pure-function CHN forward: identical math to ``CHN.__call__`` with
     the RRDB trunk running as the fused Pallas kernel.
@@ -452,6 +453,7 @@ def chn_infer_apply(
     nn_output = rrdbnet_infer_apply(
         params, None, nb=nb, nf=nf, gc=gc, dtype=dtype, interpret=interpret,
         head_y=head_y, pallas_trunk=pallas_trunk, pallas_tail=pallas_tail,
+        pallas_bwd=pallas_bwd,
     ).reshape(b, f, h, w, 3)
     x_t = jnp.broadcast_to(x_target[:, None], (b, f, h, w, c))
     v_t = jnp.broadcast_to(v_target[:, None], (b, f, h, w, 1))

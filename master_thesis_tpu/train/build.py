@@ -163,6 +163,7 @@ def chn_infer_fn(cfg, model) -> Callable:
             return chn_infer_apply(
                 params, x_t, v_t, xa, va, vm,
                 nb=cfg.chn_nb, dtype=_dtype(cfg),
+                pallas_bwd=getattr(cfg, "use_pallas_bwd", True),
             )
 
         return apply_fn
