@@ -98,11 +98,48 @@ def pixel_shuffle_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(n, 2 * h, 2 * w, o)
 
 
+def strided_conv_s2d(x, kernel, s: int, pad_h: int, pad_w: int, dtype):
+    """Stride-``s`` conv as space-to-depth + a dense stride-1 conv.
+
+    Exact regrouping: with ``ky - pad = s*dY + py`` the strided window
+    decomposes into per-phase taps at base offsets ``dY``, so the conv
+    runs over ``s²x`` channels at ``1/s`` resolution — identical FLOPs,
+    MXU-dense tiling instead of a strided window XLA tiles poorly.
+    Caller must ensure H, W divide by ``s`` and the torch output size
+    equals ``H/s x W/s`` (see :class:`Conv`).
+    """
+    b, hh, ww, c = x.shape
+    kh, kw, _, o = kernel.shape
+    x4 = x.reshape(b, hh // s, s, ww // s, s, c).transpose(0, 1, 3, 2, 4, 5)
+    x4 = x4.reshape(b, hh // s, ww // s, s * s * c)
+    lo_y, hi_y = (0 - pad_h) // s, (kh - 1 - pad_h) // s
+    lo_x, hi_x = (0 - pad_w) // s, (kw - 1 - pad_w) // s
+    w4 = jnp.zeros(
+        (hi_y - lo_y + 1, hi_x - lo_x + 1, s, s, c, o), kernel.dtype
+    )
+    for ky in range(kh):
+        d_y, p_y = divmod(ky - pad_h, s)
+        for kx in range(kw):
+            d_x, p_x = divmod(kx - pad_w, s)
+            w4 = w4.at[d_y - lo_y, d_x - lo_x, p_y, p_x].set(kernel[ky, kx])
+    w4 = w4.reshape(hi_y - lo_y + 1, hi_x - lo_x + 1, s * s * c, o)
+    return jax.lax.conv_general_dilated(
+        x4.astype(dtype), w4.astype(dtype),
+        window_strides=(1, 1),
+        padding=((-lo_y, hi_y), (-lo_x, hi_x)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 class Conv(nn.Module):
     """2-D conv (NHWC, cross-correlation) with explicit symmetric padding.
 
     Matches ``torch.nn.Conv2d(in, out, k, stride, padding, dilation)``.
-    Kernel layout: HWIO.
+    Kernel layout: HWIO. Stride-s convs whose output is exactly ``H/s x
+    W/s`` run as space-to-depth + a dense stride-1 conv
+    (:func:`strided_conv_s2d`) — an exact regrouping that avoids XLA's
+    poor tiling of strided windows on TPU.
     """
 
     features: int
@@ -127,18 +164,35 @@ class Conv(nn.Module):
             (kh, kw, in_c, self.features),
             self.param_dtype,
         )
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=self.strides,
-            padding=(
-                (self.padding[0], self.padding[0]),
-                (self.padding[1], self.padding[1]),
-            ),
-            rhs_dilation=self.dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=jax.lax.Precision.HIGHEST,
+        s = self.strides[0]
+        use_s2d = (
+            s > 1
+            and self.strides[1] == s
+            and self.dilation == (1, 1)
+            and x.shape[1] % s == 0
+            and x.shape[2] % s == 0
+            and (x.shape[1] + 2 * self.padding[0] - kh) // s + 1
+            == x.shape[1] // s
+            and (x.shape[2] + 2 * self.padding[1] - kw) // s + 1
+            == x.shape[2] // s
         )
+        if use_s2d:
+            y = strided_conv_s2d(
+                x, kernel, s, self.padding[0], self.padding[1], self.dtype
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=self.strides,
+                padding=(
+                    (self.padding[0], self.padding[0]),
+                    (self.padding[1], self.padding[1]),
+                ),
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST,
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", _uniform(bound), (self.features,), self.param_dtype
