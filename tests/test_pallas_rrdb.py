@@ -161,6 +161,34 @@ def test_chn_infer_apply_matches_module(rng):
     np.testing.assert_allclose(np.asarray(got_comp), np.asarray(want_comp), atol=5e-5)
 
 
+def test_hybrid_trunk_grads_production_channels(rng):
+    """Fused-backward grad parity at the PRODUCTION channel counts
+    (nf=64, gc=32: 192-row dsrc/dP accumulators, 576-column adjoint
+    matrices) on a small spatial grid — catches channel-split arithmetic
+    the nf=16 test can't."""
+    from master_thesis_tpu.ops.pallas_rrdb import make_hybrid_trunk
+
+    nf, gc, h, w, n = 64, 32, 8, 8, 1
+    mod = RRDB(nf=nf, gc=gc)
+    x = jnp.asarray(rng.rand(n, h, w, nf).astype(np.float32))
+    params = {"rrdb_0": mod.init(jax.random.PRNGKey(0), x)["params"]}
+    cot = jnp.asarray(rng.randn(n, h, w, nf).astype(np.float32))
+
+    def ref_loss(x, params):
+        return jnp.vdot(mod.apply({"params": params["rrdb_0"]}, x), cot)
+
+    trunk = make_hybrid_trunk(nb=1, nf=nf, gc=gc, dtype=jnp.float32, interpret=True)
+    want = jax.grad(ref_loss, argnums=(0, 1))(x, params)
+    got = jax.grad(lambda a, p: jnp.vdot(trunk(a, p), cot), argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), atol=2e-4)
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(got[1]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(want[1]):
+        np.testing.assert_allclose(
+            np.asarray(flat_g[path]), np.asarray(leaf), atol=2e-4,
+            err_msg=str(path),
+        )
+
+
 def test_hybrid_trunk_xla_remat_fallback_grads(rng):
     """pallas_bwd=False keeps the XLA-remat backward path working (the
     fallback when the bwd kernel's working set exceeds VMEM)."""
