@@ -280,6 +280,82 @@ class DFPN(nn.Module):
         )
 
 
+def flow_estimator_apply_pallas(
+    params: dict,
+    x_target: jnp.ndarray,
+    m_target: jnp.ndarray,
+    x_refs: jnp.ndarray,
+    m_refs: jnp.ndarray,
+    flow_pre: jnp.ndarray,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """FlowEstimator forward on fused banded conv stacks (serving).
+
+    Same math as :class:`FlowEstimator` (reference model_dfpn.py:677-743):
+    the fixed-resolution conv segments run as fused banded Pallas stacks
+    (ops/pallas_sep4d.py:conv_stack_banded — one HBM round-trip per
+    segment instead of one per conv); the stride-2 downs run as
+    space-to-depth dense convs and the 2x transposed convs as 4-phase
+    low-res convs + pixel shuffle (models/nn_ext.py) — all exact
+    regroupings.
+    """
+    from master_thesis_tpu.models.nn_ext import (
+        phase_transpose_kernel,
+        pixel_shuffle_2x,
+        strided_conv_s2d,
+    )
+    from master_thesis_tpu.ops.pallas_sep4d import conv_stack_banded
+
+    b, f, h, w, c = x_refs.shape
+    x_t = jnp.broadcast_to(x_target[:, None], (b, f, h, w, c))
+    m_t = jnp.broadcast_to(m_target[:, None], (b, f, h, w, 1))
+    x = jnp.concatenate(
+        [x_refs, x_t, m_refs, m_t, flow_pre], axis=-1
+    ).reshape(b * f, h, w, 10).astype(dtype)
+
+    kk = lambda n: params[n]["kernel"]
+    bb = lambda n: params[n]["bias"]
+
+    def seg(x, names, last_relu=True):
+        relus = [True] * len(names)
+        if not last_relu:
+            relus[-1] = False
+        return conv_stack_banded(
+            x, [kk(n) for n in names], [bb(n) for n in names], relus,
+            interpret=interpret,
+        )
+
+    def down(x, name, k):
+        y = strided_conv_s2d(x, kk(name), 2, k // 2, k // 2, dtype)
+        return nn.relu(y + bb(name).astype(dtype))
+
+    def up(x, name, pad):
+        w4, (p_l, p_r) = phase_transpose_kernel(kk(name), 2, pad)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), w4.astype(dtype), (1, 1),
+            padding=((p_l, p_r), (p_l, p_r)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return nn.relu(pixel_shuffle_2x(y) + bb(name).astype(dtype))
+
+    x = seg(x, ["c0", "c1"])
+    x = down(x, "c2", 5)
+    x = seg(x, ["c3", "c4"])
+    x = down(x, "c5", 3)
+    x = seg(x, ["c6", "c7"])
+    x = down(x, "c8", 3)
+    x = seg(x, ["c9", "c10"])
+    x = up(x, "t0", 1)
+    x = seg(x, ["c11", "c12"])
+    x = up(x, "t1", 1)
+    x = seg(x, ["c13", "c14"])
+    x = up(x, "t2", 2)
+    x = seg(x, ["c15", "c16", "c17"], last_relu=False)
+    return x.reshape(b, f, h, w, 2)
+
+
 def dfpn_infer_apply(
     variables,
     x_target: jnp.ndarray,
@@ -344,13 +420,14 @@ def dfpn_infer_apply(
         interpret=interpret,
     )
     flow_64_pre = flows_ops.resize_flow(flow_16, (s64, s64), mode="bilinear")
-    flow_64 = FlowEstimator(dtype=dtype).apply(
-        {"params": p["flow_64"]}, x_t_64, m_t_64, x_r_64, m_r_64, flow_64_pre
+    flow_64 = flow_estimator_apply_pallas(
+        p["flow_64"], x_t_64, m_t_64, x_r_64, m_r_64, flow_64_pre,
+        dtype=dtype, interpret=interpret,
     )
     flow_256_pre = flows_ops.resize_flow(flow_64, (s256, s256), mode="bilinear")
-    flow_256 = FlowEstimator(dtype=dtype).apply(
-        {"params": p["flow_256"]}, x_t_256, m_t_256, x_r_256, m_r_256,
-        flow_256_pre,
+    flow_256 = flow_estimator_apply_pallas(
+        p["flow_256"], x_t_256, m_t_256, x_r_256, m_r_256, flow_256_pre,
+        dtype=dtype, interpret=interpret,
     )
 
     return corr, flow_16, flow_64, flows_ops.resize_flow(

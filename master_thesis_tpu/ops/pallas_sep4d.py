@@ -184,6 +184,127 @@ def conv_stack_tiles(
 conv3x3_stack_tiles = conv_stack_tiles
 
 
+def _band_tap_masks_r(
+    w_img: int, br: int, halo: int, n_bands: int, h: int, r: int
+) -> np.ndarray:
+    """(n_bands, (2r+1)², bhw) radius-``r`` validity planes for row bands
+    of a ``h x w_img`` image: in-band flat validity plus the frame-row
+    term (band ``b``'s row ``i`` holds frame row ``b*br - halo + i``), so
+    pad rows contribute exact zeros at every conv stage."""
+    rows = br + 2 * halo
+    bhw = rows * w_img
+    pos = np.arange(bhw)
+    col = pos % w_img
+    row = pos // w_img
+    n = 2 * r + 1
+    masks = np.empty((n_bands, n * n, bhw), np.float32)
+    for b in range(n_bands):
+        frame_row = b * br - halo + row
+        for i, dy in enumerate(range(-r, r + 1)):
+            for j, dx in enumerate(range(-r, r + 1)):
+                off = dy * w_img + dx
+                valid = (col + dx >= 0) & (col + dx < w_img)
+                valid &= (pos + off >= 0) & (pos + off < bhw)
+                valid &= (frame_row + dy >= 0) & (frame_row + dy < h)
+                masks[b, i * n + j] = valid
+    return masks
+
+
+def _conv_stack_band_kernel(w_img, mask_r, spec, x_ref, masks_ref, *rest):
+    """One (image, band) step of a banded conv stack. x_ref: (1, 1, Cin,
+    BHW); masks_ref: (1, (2*mask_r+1)², BHW) band-specific planes."""
+    out_ref = rest[-1]
+    wb = rest[:-1]
+    x = x_ref[0, 0]
+    masks = masks_ref[0]
+    for i, (ksize, relu) in enumerate(spec):
+        w, b = wb[2 * i], wb[2 * i + 1]
+        acc = _accum_taps_tile(x, w[:], masks, w_img, ksize, mask_r) + b[:]
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        x = acc.astype(x_ref.dtype)
+    out_ref[0, 0] = x.astype(out_ref.dtype)
+
+
+def _stack_band_rows(cmax: int, w_img: int, itemsize: int = 2) -> int:
+    """Interior band height keeping the stack's working set (input +
+    f32 accumulator + 3-tap group stack + output, widest conv) inside the
+    VMEM window."""
+    per_lane = 8 * cmax * itemsize + 4 * cmax
+    lanes = (64 << 20) // per_lane
+    return max(lanes // w_img, 1)
+
+
+def conv_stack_banded(
+    x: jnp.ndarray,
+    kernels: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    relus: Sequence[bool],
+    *,
+    band_rows: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused stack of odd-size same-pad convs over full-size NHWC images,
+    processed in row bands with ``halo = sum of radii`` per side — the
+    tile-stack kernel's big-image sibling (one HBM read and one write for
+    the whole stack instead of one per conv).
+
+    x: ``(N, H, W, Cin)`` -> ``(N, H, W, Cout_last)`` in ``x.dtype``.
+    """
+    n, h, w, cin = x.shape
+    radii = [k.shape[0] // 2 for k in kernels]
+    halo = sum(radii)
+    mask_r = max(radii)
+    spec = tuple((k.shape[0], r) for k, r in zip(kernels, relus))
+    cmax = max([cin] + [k.shape[-1] for k in kernels])
+    br = band_rows or (_stack_band_rows(cmax, w) - 2 * halo)
+    br = max(min(br, h), 1)
+    n_bands = -(-h // br)
+    rows = br + 2 * halo
+    bhw = rows * w
+    hp = n_bands * br + 2 * halo
+
+    wb = []
+    for k, b in zip(kernels, biases):
+        wb.append(_conv_tap_weight(k, x.dtype))
+        wb.append(b.reshape(-1, 1).astype(jnp.float32))
+    xc = x.transpose(0, 3, 1, 2)  # (N, C, H, W)
+    pad = jnp.pad(xc, ((0, 0), (0, 0), (halo, hp - halo - h), (0, 0)))
+    bands = jnp.stack(
+        [pad[:, :, b * br : b * br + rows] for b in range(n_bands)], axis=1
+    ).reshape(n, n_bands, cin, bhw)
+    masks = jnp.asarray(_band_tap_masks_r(w, br, halo, n_bands, h, mask_r))
+    cout = kernels[-1].shape[-1]
+    kernel = functools.partial(_conv_stack_band_kernel, w, mask_r, spec)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_bands),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, cin, bhw), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, masks.shape[1], bhw), lambda i, j: (j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(wb),
+        out_specs=pl.BlockSpec(
+            (1, 1, cout, bhw), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n_bands, cout, bhw), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(bands, masks, *wb)
+    interior = out[..., halo * w : (halo + br) * w]
+    full = interior.transpose(0, 2, 1, 3).reshape(n, cout, n_bands * br, w)
+    return full[:, :, :h].transpose(0, 2, 3, 1)
+
+
 def sep4d_apply_pallas(
     params: dict,
     corr: jnp.ndarray,

@@ -92,6 +92,67 @@ def test_mixer_pallas_matches_module(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
 
+def test_conv_stack_banded_matches_flax(rng):
+    """The banded big-image conv stack == chained flax Convs — mixed
+    5x5/3x3, forced multi-band (halo 3 crossing both borders)."""
+    from flax import linen as nn
+
+    from master_thesis_tpu.models.nn_ext import Conv
+    from master_thesis_tpu.ops.pallas_sep4d import conv_stack_banded
+
+    n, h, w, cin = 2, 14, 10, 3
+    spec = [(5, 6, True), (3, 4, False)]
+    x = jnp.asarray(rng.randn(n, h, w, cin).astype(np.float32))
+
+    class Stack(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i, (k, feats, relu) in enumerate(spec):
+                x = Conv(
+                    features=feats, kernel_size=(k, k),
+                    padding=(k // 2, k // 2), name=f"c{i}",
+                )(x)
+                if relu:
+                    x = nn.relu(x)
+            return x
+
+    mod = Stack()
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    want = mod.apply({"params": params}, x)
+    got = conv_stack_banded(
+        x,
+        [params[f"c{i}"]["kernel"] for i in range(2)],
+        [params[f"c{i}"]["bias"] for i in range(2)],
+        [True, False],
+        band_rows=4,  # 4 bands of a 14-row image, halo 3
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flow_estimator_pallas_matches_module(rng):
+    """flow_estimator_apply_pallas == FlowEstimator.apply at 32² (all
+    three downs, all three phase-conv ups, banded segments)."""
+    from master_thesis_tpu.models.dfpn import (
+        FlowEstimator,
+        flow_estimator_apply_pallas,
+    )
+
+    b, f, h, w = 1, 2, 32, 32
+    mod = FlowEstimator(dtype=jnp.float32)
+    x_t = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    m_t = jnp.asarray((rng.rand(b, h, w, 1) > 0.8).astype(np.float32))
+    x_r = jnp.asarray(rng.rand(b, f, h, w, 3).astype(np.float32))
+    m_r = jnp.asarray((rng.rand(b, f, h, w, 1) > 0.8).astype(np.float32))
+    fp = jnp.asarray(rng.randn(b, f, h, w, 2).astype(np.float32) * 0.1)
+    params = mod.init(jax.random.PRNGKey(0), x_t, m_t, x_r, m_r, fp)["params"]
+    want = mod.apply({"params": params}, x_t, m_t, x_r, m_r, fp)
+    got = flow_estimator_apply_pallas(
+        params, x_t, m_t, x_r, m_r, fp, dtype=jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
 def test_dfpn_infer_apply_matches_module(rng):
     """The DFPN serving twin (Pallas sep4d, interpret) == DFPN.apply on all
     four outputs at the scaled-down 64 base."""
