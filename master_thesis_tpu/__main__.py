@@ -100,10 +100,12 @@ def run_dfpn_train(cfg):
         state = restore_train_state(state, orbax_resume)
     trainer = Trainer(cfg, "dfpn")
     train_step = dfpn_task.make_train_step(
-        model.apply, vgg_apply,
+        model.apply, vgg_apply, base_size=model.base_size,
         ref_sharding=trainer.ref_sharding, donate=cfg.donate_buffers,
     )
-    eval_step = dfpn_task.make_eval_step(model.apply, vgg_apply)
+    eval_step = dfpn_task.make_eval_step(
+        model.apply, vgg_apply, base_size=model.base_size
+    )
     args = lambda b: (b["x"], b["m"], b["y"], b["flow_gt"], b["flows_use"])
     trainer.fit(
         state, train_step, args, loaders["train"],
@@ -122,7 +124,9 @@ def run_dfpn_test(cfg):
     loaders = build_mod.build_loaders(cfg, metas, splits=("test",))
     _, _, vgg_apply = build_mod.build_vgg(cfg, cfg.vgg_checkpoint)
     model, params = load_dfpn_params(cfg.test_checkpoint, cfg, vgg_apply)
-    eval_step = dfpn_task.make_eval_step(model.apply, vgg_apply)
+    eval_step = dfpn_task.make_eval_step(
+        model.apply, vgg_apply, base_size=model.base_size
+    )
     align_fn = build_mod.dfpn_align_fn(cfg, model, params, vgg_apply)
     logger = Logger(next_version_dir(cfg.default_root_dir))
 

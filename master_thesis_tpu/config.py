@@ -99,6 +99,10 @@ class Config:
     mesh_model: int = 1
     donate_buffers: bool = True
     use_pallas: bool = True  # fused Pallas kernels on TPU for hot ops
+    # DFPN cascade resolution. The reference fixes 256 (model_dfpn.py:74-81)
+    # and converted reference checkpoints require it; smaller values keep
+    # the same graph shape for cheap CPU tests / scaled-down runs.
+    dfpn_base_size: int = 256
     # Escape hatch: keep the fused trunk forward but train with the
     # XLA-remat backward (exact gradient of the XLA twin) instead of the
     # fused backward kernel.
@@ -180,6 +184,7 @@ class Config:
         parser.add_argument("--donate_buffers", default=True, **boolean)
         parser.add_argument("--use_pallas", default=True, **boolean)
         parser.add_argument("--use_pallas_bwd", default=True, **boolean)
+        parser.add_argument("--dfpn_base_size", type=int, default=256)
         parser.add_argument("--profile_dir")
         return parser
 

@@ -63,14 +63,16 @@ def build_cpn(cfg, checkpoint: Optional[str] = None):
 
 
 def build_dfpn(cfg, vgg_apply: Callable, params=None, rng_seed: int = 3):
-    model = DFPN(dtype=_dtype(cfg))
+    base = getattr(cfg, "dfpn_base_size", 256)
+    model = DFPN(dtype=_dtype(cfg), base_size=base)
     if params is None:
         z = jnp.zeros
+        cs = base // 16
         params = model.init(
             jax.random.PRNGKey(rng_seed),
             z((1, 64, 64, 3)), z((1, 64, 64, 1)),
             z((1, 1, 64, 64, 3)), z((1, 1, 64, 64, 1)),
-            z((1, 16, 16, 512)), z((1, 1, 16, 16, 512)),
+            z((1, cs, cs, 512)), z((1, 1, cs, cs, 512)),
         )
     return model, params
 
@@ -99,9 +101,13 @@ def dfpn_align_fn(cfg, dfpn_model, dfpn_params, vgg_apply: Callable) -> Callable
 
     def align_fn(x_t, m_t, x_r, m_r):
         b, f, h, w, _ = x_r.shape
-        feats_t = vgg_apply(prepare_vgg_input(x_t), normalize_input=False)[3]
+        base = dfpn_model.base_size
+        feats_t = vgg_apply(
+            prepare_vgg_input(x_t, size=base), normalize_input=False
+        )[3]
         feats_r = vgg_apply(
-            prepare_vgg_input(x_r.reshape(b * f, h, w, 3)), normalize_input=False
+            prepare_vgg_input(x_r.reshape(b * f, h, w, 3), size=base),
+            normalize_input=False,
         )[3]
         feats_r = feats_r.reshape(b, f, *feats_r.shape[1:])
         return dfpn_align(

@@ -63,6 +63,39 @@ def test_cli_chn_train_and_resume(data_root, tmp_path):
     assert not any(os.path.basename(p) == "2" for p in ckpts2)
 
 
+def test_cli_dfpn_train_and_test(data_root, tmp_path):
+    """The two DFPN run modes via the CLI (reference __main__.py:55-58):
+    default-mode training saves a checkpoint; ``--test --test_checkpoint``
+    computes the six DFPN losses over the DAVIS fixture and logs aligned
+    frame grids to TensorBoard."""
+    import glob as _glob
+    import re
+
+    logs = str(tmp_path / "logs")
+    common = [
+        "--data_path", data_root, "--data_ckpt_path", str(tmp_path / "data.ckpt"),
+        "--default_root_dir", logs, "--compute_dtype", "float32",
+        "--dfpn_base_size", "64",
+    ]
+    _run_cli(common + [
+        "--train_size", "64", "64", "--batch_size", "2", "--frames_n", "2",
+        "--train_max_iterations", "1", "--validation_max_iterations", "1",
+        "--num_workers", "1", "--max_epochs", "1",
+    ])
+    ckpt = os.path.join(logs, "version_0")
+    assert os.path.isdir(os.path.join(ckpt, "checkpoints"))
+
+    out = _run_cli(common + [
+        "--test", "--test_checkpoint", ckpt,
+        "--test_size", "48", "64", "--batch_size", "1", "--frames_n", "2",
+        "--num_workers", "1",
+    ])
+    loss = re.search(r"test/loss: ([-\d.]+)", out)
+    assert loss, out
+    assert float(loss.group(1)) == float(loss.group(1))  # finite, not nan
+    assert _glob.glob(os.path.join(logs, "version_1", "events.out.tfevents.*"))
+
+
 def test_cli_chn_test_mode(data_root, tmp_path):
     """The fourth run mode (reference __main__.py:43): full-video CHN test
     over the DAVIS fixture — trains one tiny checkpoint, then runs
