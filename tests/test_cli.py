@@ -96,6 +96,30 @@ def test_cli_dfpn_train_and_test(data_root, tmp_path):
     assert _glob.glob(os.path.join(logs, "version_1", "events.out.tfevents.*"))
 
 
+def test_cli_chn_with_dfpn_aligner(data_root, tmp_path):
+    """Reference mode 3's second variant (__main__.py:33): CHN training
+    with a DFPN aligner restored from a checkpoint — one DFPN train run
+    produces the aligner, then a short CHN train consumes it."""
+    logs = str(tmp_path / "logs")
+    base = [
+        "--data_path", data_root, "--data_ckpt_path", str(tmp_path / "data.ckpt"),
+        "--default_root_dir", logs, "--compute_dtype", "float32",
+        "--dfpn_base_size", "64", "--train_size", "64", "64",
+        "--num_workers", "1", "--max_epochs", "1",
+        "--train_max_iterations", "1", "--validation_max_iterations", "1",
+    ]
+    _run_cli(base + ["--batch_size", "2", "--frames_n", "2"])
+    dfpn_ckpt = os.path.join(logs, "version_0")
+
+    out = _run_cli(base + [
+        "--chn", "--chn_aligner", "dfpn",
+        "--chn_aligner_checkpoint", dfpn_ckpt,
+        "--chn_nb", "1", "--batch_size", "2", "--frames_n", "3",
+    ])
+    assert "step 1" in out
+    assert glob.glob(os.path.join(logs, "version_1", "checkpoints", "*"))
+
+
 def test_cli_chn_test_mode(data_root, tmp_path):
     """The fourth run mode (reference __main__.py:43): full-video CHN test
     over the DAVIS fixture — trains one tiny checkpoint, then runs
