@@ -14,14 +14,13 @@ trunk-conv residual, then two nearest-2x upsamples.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from master_thesis_tpu.models.nn_ext import Conv, leaky_relu
+from master_thesis_tpu.models.nn_ext import leaky_relu
 from master_thesis_tpu.models.vgg import IMAGENET_MEAN, IMAGENET_STD
 
 

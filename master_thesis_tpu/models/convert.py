@@ -16,7 +16,7 @@ Layout rules:
 
 from __future__ import annotations
 
-from typing import Dict, List, Mapping, Optional
+from typing import Dict, Mapping
 
 import numpy as np
 

@@ -13,7 +13,7 @@ wraps them in ``torch.no_grad``, model_dfpn.py:510-515).
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

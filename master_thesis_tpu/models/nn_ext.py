@@ -10,7 +10,7 @@ as an input-dilated correlation with a spatially flipped kernel — a single
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

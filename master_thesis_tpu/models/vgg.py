@@ -13,7 +13,7 @@ Weights convert 1:1 from a torchvision ``vgg16`` state dict via
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -9,11 +9,10 @@ from __future__ import annotations
 
 import os
 import warnings
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from master_thesis_tpu.models import convert
 from master_thesis_tpu.models.chn import CHN

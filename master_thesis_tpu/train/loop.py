@@ -15,7 +15,6 @@ dispatch is async — we only block on the scalar fetch for logging).
 
 from __future__ import annotations
 
-import os
 from typing import Callable, Dict, Optional
 
 import jax
