@@ -40,6 +40,34 @@ def denormalize_imagenet(x: jnp.ndarray) -> jnp.ndarray:
     return x * std + mean
 
 
+def vgg_pool4_pallas(
+    params: dict,
+    x: jnp.ndarray,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """VGG-16 features through pool-4 on fused banded conv stacks — the
+    DFPN correlation's feature extractor (reference model_dfpn.py:516).
+
+    ``x``: ``(N, H, W, 3)`` ALREADY ImageNet-normalized (the align path
+    normalizes via ``prepare_vgg_input`` and calls with
+    ``normalize_input=False``). Each between-pools conv segment runs as
+    one banded Pallas stack (ops/pallas_sep4d.py:conv_stack_banded);
+    max-pools stay XLA. Returns the ``(N, H/16, W/16, 512)`` pool-4 map.
+    """
+    from master_thesis_tpu.ops.pallas_sep4d import conv_stack_banded
+
+    x = x.astype(dtype)
+    for lo, hi in ((0, 2), (2, 4), (4, 7), (7, 10)):
+        ks = [params[f"conv_{i}"]["kernel"] for i in range(lo, hi)]
+        bs = [params[f"conv_{i}"]["bias"] for i in range(lo, hi)]
+        x = conv_stack_banded(
+            x, ks, bs, [True] * len(ks), interpret=interpret
+        )
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+    return x
+
+
 class VGGFeatures(nn.Module):
     """VGG-16 feature tower returning the 5 post-pool maps (NHWC)."""
 

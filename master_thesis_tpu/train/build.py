@@ -39,6 +39,9 @@ def build_vgg(cfg, checkpoint: Optional[str] = None):
     def vgg_apply(x, normalize_input=True):
         return model.apply(params, x, normalize_input=normalize_input)
 
+    # Expose the param tree so serving paths can run the fused pool-4
+    # twin (models/vgg.py:vgg_pool4_pallas) without re-plumbing closures.
+    vgg_apply.params = params
     return model, params, vgg_apply
 
 
@@ -98,16 +101,27 @@ def dfpn_align_fn(cfg, dfpn_model, dfpn_params, vgg_apply: Callable) -> Callable
         def apply_fn(p, *a):
             return dfpn_model.apply(p, *a)
 
+    vgg_params = getattr(vgg_apply, "params", None)
+    use_pallas_vgg = (
+        cfg.use_pallas
+        and jax.default_backend() in ("tpu", "axon")
+        and vgg_params is not None
+    )
+
+    def pool4(x):
+        if use_pallas_vgg:
+            from master_thesis_tpu.models.vgg import vgg_pool4_pallas
+
+            return vgg_pool4_pallas(
+                vgg_params["params"], x, dtype=_dtype(cfg)
+            )
+        return vgg_apply(x, normalize_input=False)[3]
+
     def align_fn(x_t, m_t, x_r, m_r):
         b, f, h, w, _ = x_r.shape
         base = dfpn_model.base_size
-        feats_t = vgg_apply(
-            prepare_vgg_input(x_t, size=base), normalize_input=False
-        )[3]
-        feats_r = vgg_apply(
-            prepare_vgg_input(x_r.reshape(b * f, h, w, 3), size=base),
-            normalize_input=False,
-        )[3]
+        feats_t = pool4(prepare_vgg_input(x_t, size=base))
+        feats_r = pool4(prepare_vgg_input(x_r.reshape(b * f, h, w, 3), size=base))
         feats_r = feats_r.reshape(b, f, *feats_r.shape[1:])
         return dfpn_align(
             apply_fn,

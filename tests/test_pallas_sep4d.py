@@ -153,6 +153,23 @@ def test_flow_estimator_pallas_matches_module(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
+def test_vgg_pool4_pallas_matches_module(rng):
+    """vgg_pool4_pallas == VGGFeatures.apply(...)[3] (f32, interpret) —
+    four banded conv segments + XLA max-pools."""
+    from master_thesis_tpu.models.vgg import VGGFeatures, vgg_pool4_pallas
+
+    n, h, w = 1, 64, 64
+    x = jnp.asarray(rng.rand(n, h, w, 3).astype(np.float32))
+    mod = VGGFeatures()
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    want = mod.apply(variables, x, normalize_input=False)[3]
+    got = vgg_pool4_pallas(
+        variables["params"], x, dtype=jnp.float32, interpret=True
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 def test_dfpn_infer_apply_matches_module(rng):
     """The DFPN serving twin (Pallas sep4d, interpret) == DFPN.apply on all
     four outputs at the scaled-down 64 base."""
