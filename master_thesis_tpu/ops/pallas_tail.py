@@ -75,7 +75,8 @@ def _phase_conv(phases, pick, w_flat, bias, masks_ref, w_img, cache):
                 v = phases[p]
                 off = oy * w_img + ox
                 if off != 0:
-                    m = masks_ref[(oy + 1) * 3 + (ox + 1)][None, :]
+                    k_m = (oy + 1) * 3 + (ox + 1)
+                    m = masks_ref[k_m : k_m + 1, :]
                     v = (
                         pltpu.roll(v.astype(jnp.float32), (-off) % hw, 1) * m
                     ).astype(v.dtype)
@@ -240,16 +241,16 @@ def rrdbnet_tail_pallas(
     stage); band tap masks add the frame-row validity term so pad rows
     contribute exact zeros (pallas_rrdb._band_tap_masks).
     """
-    n, s, _, nf = y.shape
-    hw = s * s
+    n, h, w, nf = y.shape
+    hw = h * w
     wb = _tail_tap_weights(params, nf, dtype)
     x = y.reshape(n, hw, nf).transpose(0, 2, 1).astype(dtype)
     cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     if not band_rows and tail_pallas_fits(nf, hw):
-        masks = jnp.asarray(_tap_masks(s, hw))
-        kernel = functools.partial(_tail_kernel, s, nf)
+        masks = jnp.asarray(_tap_masks(w, hw))
+        kernel = functools.partial(_tail_kernel, w, nf)
         frame_in = pl.BlockSpec(
             (1, nf, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
@@ -268,20 +269,20 @@ def rrdbnet_tail_pallas(
         from master_thesis_tpu.ops.pallas_rrdb import _band_tap_masks
 
         halo = _TAIL_HALO
-        br = band_rows or _tail_band_rows(nf, s)
-        br = min(br, s)
-        n_bands = -(-s // br)
+        br = band_rows or _tail_band_rows(nf, w)
+        br = min(br, h)
+        n_bands = -(-h // br)
         rows = br + 2 * halo
-        bhw = rows * s
+        bhw = rows * w
         hp = n_bands * br + 2 * halo
-        xi = x.reshape(n, nf, s, s)
-        pad = jnp.pad(xi, ((0, 0), (0, 0), (halo, hp - halo - s), (0, 0)))
+        xi = x.reshape(n, nf, h, w)
+        pad = jnp.pad(xi, ((0, 0), (0, 0), (halo, hp - halo - h), (0, 0)))
         bands = jnp.stack(
             [pad[:, :, b * br : b * br + rows] for b in range(n_bands)],
             axis=1,
         ).reshape(n, n_bands, nf, bhw)
-        masks = jnp.asarray(_band_tap_masks(s, br, halo, n_bands, s))
-        kernel = functools.partial(_tail_band_kernel, s, nf)
+        masks = jnp.asarray(_band_tap_masks(w, br, halo, n_bands, h))
+        kernel = functools.partial(_tail_band_kernel, w, nf)
         bout = pl.pallas_call(
             kernel,
             grid=(n, n_bands),
@@ -304,13 +305,13 @@ def rrdbnet_tail_pallas(
             compiler_params=cp,
             interpret=interpret,
         )(bands, masks, *wb)
-        interior = bout[..., halo * s : (halo + br) * s]
-        out = interior.transpose(0, 2, 1, 3).reshape(n, 48, n_bands * br * s)
+        interior = bout[..., halo * w : (halo + br) * w]
+        out = interior.transpose(0, 2, 1, 3).reshape(n, 48, n_bands * br * w)
         out = out[..., : hw]
 
-    # (N, (qy,qx,c), HW) -> (N, 4s, 4s, 3): one 4x-phase interleave.
-    out = out.reshape(n, 4, 4, 3, s, s).transpose(0, 4, 1, 5, 2, 3)
-    return out.reshape(n, 4 * s, 4 * s, 3)
+    # (N, (qy,qx,c), HW) -> (N, 4h, 4w, 3): one 4x-phase interleave.
+    out = out.reshape(n, 4, 4, 3, h, w).transpose(0, 4, 1, 5, 2, 3)
+    return out.reshape(n, 4 * h, 4 * w, 3)
 
 
 def tail_pallas_fits(nf: int, hw: int, itemsize: int = 2) -> bool:
@@ -339,11 +340,11 @@ def make_hybrid_tail(dtype=jnp.bfloat16, use_pallas: bool = True,
         return rrdbnet_tail_forward(params, y, dtype)
 
     def _impl(y, params):
-        n, s, _, nf = y.shape
+        n, h, w, nf = y.shape
         if use_pallas and (
             interpret
-            or tail_pallas_fits(nf, s * s)
-            or _tail_band_rows(nf, s) >= 8
+            or tail_pallas_fits(nf, h * w)
+            or _tail_band_rows(nf, w) >= 8
         ):
             return rrdbnet_tail_pallas(params, y, dtype, interpret=interpret)
         return xla_fn(y, params)

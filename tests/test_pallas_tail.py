@@ -76,6 +76,22 @@ def test_hybrid_tail_grads_match_xla(rng):
         )
 
 
+def test_tail_pallas_rectangular(rng):
+    """Non-square tail inputs (the reference tests at 240x480 -> tail grid
+    60x120): full-frame and banded paths both match the XLA tail."""
+    nf, h, w, n = 16, 6, 10, 1
+    params = _tail_params(rng, nf)
+    y = jnp.asarray(rng.randn(n, h, w, nf).astype(np.float32))
+    want = rrdbnet_tail_forward(params, y, jnp.float32)
+    got = rrdbnet_tail_pallas(params, y, jnp.float32, interpret=True)
+    assert got.shape == (n, 4 * h, 4 * w, 3) == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+    banded = rrdbnet_tail_pallas(
+        params, y, jnp.float32, interpret=True, band_rows=2
+    )
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(want), atol=5e-5)
+
+
 def test_tail_banded_matches_xla(rng):
     """Forced multi-band tail (3 bands of 4 interior rows, 4-row halos
     crossing both frame borders) == rrdbnet_tail_forward."""
