@@ -356,7 +356,8 @@ def rrdbnet_infer_apply(
         )
     }
     return make_hybrid_tail(
-        dtype, use_pallas=pallas_trunk and pallas_tail, interpret=interpret
+        dtype, use_pallas=pallas_trunk and pallas_tail, interpret=interpret,
+        pallas_bwd=pallas_bwd,
     )(y, tail_params)
 
 

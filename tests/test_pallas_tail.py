@@ -66,13 +66,15 @@ def test_hybrid_tail_grads_match_xla(rng):
     got_v, got_g = jax.value_and_grad(loss_h, argnums=(0, 1))(y, params)
     want_v, want_g = jax.value_and_grad(loss_x, argnums=(0, 1))(y, params)
     np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-5)
+    # rtol for the large weight-grad magnitudes: the fused backward sums
+    # contributions in a different order than XLA's vjp (f32 noise).
     np.testing.assert_allclose(
-        np.asarray(got_g[0]), np.asarray(want_g[0]), atol=1e-4
+        np.asarray(got_g[0]), np.asarray(want_g[0]), rtol=1e-4, atol=1e-4
     )
     for k in want_g[1]:
         np.testing.assert_allclose(
-            np.asarray(got_g[1][k]), np.asarray(want_g[1][k]), atol=1e-4,
-            err_msg=k,
+            np.asarray(got_g[1][k]), np.asarray(want_g[1][k]), rtol=1e-4,
+            atol=1e-4, err_msg=k,
         )
 
 
@@ -105,11 +107,36 @@ def test_tail_banded_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
 
+def test_hybrid_tail_remat_fallback_grads(rng):
+    """pallas_bwd=False keeps the XLA-remat backward path working (the
+    fallback when the bwd kernel's working set exceeds VMEM)."""
+    nf, s, n = 16, 8, 1
+    params = _tail_params(rng, nf)
+    y = jnp.asarray(rng.randn(n, s, s, nf).astype(np.float32))
+    cot = jnp.asarray(rng.randn(n, 4 * s, 4 * s, 3).astype(np.float32))
+    tail = make_hybrid_tail(jnp.float32, interpret=True, pallas_bwd=False)
+    got = jax.grad(lambda a, p: jnp.vdot(tail(a, p), cot), argnums=(0, 1))(y, params)
+    want = jax.grad(
+        lambda a, p: jnp.vdot(rrdbnet_tail_forward(p, a, jnp.float32), cot),
+        argnums=(0, 1),
+    )(y, params)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), atol=1e-4)
+    for k in want[1]:
+        np.testing.assert_allclose(
+            np.asarray(got[1][k]), np.asarray(want[1][k]), rtol=1e-4,
+            atol=1e-4, err_msg=k,
+        )
+
+
 def test_tail_fits_thresholds():
     """256² serving (tail input 64²) takes the full-frame kernel; 512²
-    (tail input 128²) exceeds it but stays on the kernel via row bands."""
-    from master_thesis_tpu.ops.pallas_tail import _tail_band_rows
+    (tail input 128²) exceeds it but stays on the kernel via row bands.
+    Training at 256² engages the fused backward; larger grids fall back
+    to XLA-remat."""
+    from master_thesis_tpu.ops.pallas_tail import _tail_band_rows, tail_bwd_fits
 
     assert tail_pallas_fits(64, 64 * 64)
     assert not tail_pallas_fits(64, 128 * 128)
     assert _tail_band_rows(64, 128) >= 8
+    assert tail_bwd_fits(64, 64 * 64)
+    assert not tail_bwd_fits(64, 128 * 128)
