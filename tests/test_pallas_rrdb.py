@@ -161,6 +161,35 @@ def test_chn_infer_apply_matches_module(rng):
     np.testing.assert_allclose(np.asarray(got_comp), np.asarray(want_comp), atol=5e-5)
 
 
+def test_chn_infer_apply_nonsquare(rng):
+    """The full serving path (grouped head + border strips + trunk + tail)
+    at a rectangular size — the reference tests at 240x480, so every stage
+    must handle h != w (here 24x40 -> trunk grid 6x10)."""
+    from master_thesis_tpu.models.chn import CHN, chn_infer_apply
+
+    nb, nf, gc, h, w = 1, 16, 8, 24, 40
+    chn = CHN(nb=nb, nf=nf, gc=gc)
+    z = jnp.zeros
+    variables = chn.init(
+        jax.random.PRNGKey(0), z((1, h, w, 3)), z((1, h, w, 1)),
+        z((1, 1, h, w, 3)), z((1, 1, h, w, 1)), z((1, 1, h, w, 1)),
+    )
+    b, f = 1, 2
+    x_t = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    v_t = jnp.asarray((rng.rand(b, h, w, 1) > 0.2).astype(np.float32))
+    x_r = jnp.asarray(rng.rand(b, f, h, w, 3).astype(np.float32))
+    v_r = jnp.asarray((rng.rand(b, f, h, w, 1) > 0.2).astype(np.float32))
+    vm = jnp.asarray((rng.rand(b, f, h, w, 1) > 0.7).astype(np.float32))
+
+    want_hat, want_comp = chn.apply(variables, x_t, v_t, x_r, v_r, vm)
+    got_hat, got_comp = chn_infer_apply(
+        variables, x_t, v_t, x_r, v_r, vm, nb=nb, nf=nf, gc=gc,
+        dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_hat), np.asarray(want_hat), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got_comp), np.asarray(want_comp), atol=5e-5)
+
+
 def test_hybrid_trunk_grads_production_channels(rng):
     """Fused-backward grad parity at the PRODUCTION channel counts
     (nf=64, gc=32: 192-row dsrc/dP accumulators, 576-column adjoint
