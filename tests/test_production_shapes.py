@@ -1,0 +1,64 @@
+"""Abstract-eval (shape-level) smoke of the TPU serving/training paths at
+REAL production shapes. ``jax.eval_shape`` traces the full graph — every
+reshape/transpose/BlockSpec shape computation in the Pallas call wrappers
+— without lowering to Mosaic, so it runs on CPU and catches
+shape-plumbing bugs (e.g. square-only assumptions) that interpret-mode
+tests at toy sizes can't."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from master_thesis_tpu.models.chn import CHN, chn_infer_apply
+
+
+def _chn_variables(nb):
+    chn = CHN(nb=nb)
+    z = jnp.zeros
+    return chn.init(
+        jax.random.PRNGKey(0), z((1, 64, 64, 3)), z((1, 64, 64, 1)),
+        z((1, 1, 64, 64, 3)), z((1, 1, 64, 64, 1)), z((1, 1, 64, 64, 1)),
+    )
+
+
+@pytest.mark.parametrize(
+    "b,f,h,w",
+    [
+        (16, 5, 256, 256),  # headline bench geometry
+        (1, 5, 240, 480),   # the reference's CHN test size
+        (12, 1, 512, 512),  # config-5 full-video geometry
+    ],
+)
+def test_chn_serving_path_traces_at_production_shapes(b, f, h, w):
+    variables = _chn_variables(nb=20)
+    z = jnp.zeros
+
+    def fwd(v):
+        return chn_infer_apply(
+            v, z((b, h, w, 3)), z((b, h, w, 1)), z((b, f, h, w, 3)),
+            z((b, f, h, w, 1)), z((b, f, h, w, 1)), nb=20,
+        )
+
+    y_hat, y_comp = jax.eval_shape(fwd, variables)
+    assert y_hat.shape == (b, f, h, w, 3) == y_comp.shape
+
+
+def test_chn_training_grads_trace_at_production_shape():
+    """The production train-shape VJP — fused trunk AND tail backwards
+    engage at 256² (dispatch-threshold tests pin that) — must trace,
+    including the backward kernels' per-frame dW plumbing and the
+    weight-grad un-mapping back to the param tree."""
+    variables = _chn_variables(nb=20)
+    b, f, h, w = 8, 5, 256, 256
+    z = jnp.zeros
+
+    def loss(v):
+        y_hat, _ = chn_infer_apply(
+            v, z((b, h, w, 3)), z((b, h, w, 1)), z((b, f, h, w, 3)),
+            z((b, f, h, w, 1)), z((b, f, h, w, 1)), nb=20,
+        )
+        return jnp.sum(y_hat.astype(jnp.float32))
+
+    grads = jax.eval_shape(jax.grad(loss), variables)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert flat and all(g.shape is not None for g in flat)
