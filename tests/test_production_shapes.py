@@ -43,6 +43,43 @@ def test_chn_serving_path_traces_at_production_shapes(b, f, h, w):
     assert y_hat.shape == (b, f, h, w, 3) == y_comp.shape
 
 
+@pytest.mark.parametrize("b,f", [(4, 5), (8, 1)])  # config-4 / config-1
+def test_dfpn_serving_twin_traces_at_production_shapes(b, f):
+    """The DFPN serving twin (sep4d + mixer + flow-estimator + VGG
+    kernels) at the real 256² geometry."""
+    from master_thesis_tpu.models.dfpn import DFPN, dfpn_infer_apply
+    from master_thesis_tpu.models.vgg import vgg_pool4_pallas
+
+    h = w = 256
+    model = DFPN()
+    z = jnp.zeros
+    variables = model.init(
+        jax.random.PRNGKey(0), z((1, 64, 64, 3)), z((1, 64, 64, 1)),
+        z((1, 1, 64, 64, 3)), z((1, 1, 64, 64, 1)),
+        z((1, 16, 16, 512)), z((1, 1, 16, 16, 512)),
+    )
+
+    def fwd(v):
+        return dfpn_infer_apply(
+            v, z((b, h, w, 3)), z((b, h, w, 1)), z((b, f, h, w, 3)),
+            z((b, f, h, w, 1)), z((b, 16, 16, 512)),
+            z((b, f, 16, 16, 512)),
+        )
+
+    corr, f16, f64, ffull = jax.eval_shape(fwd, variables)
+    assert corr.shape == (b, f, 16, 16, 16, 16)
+    assert ffull.shape == (b, f, h, w, 2)
+
+    from master_thesis_tpu.models.vgg import VGGFeatures
+
+    vgg = VGGFeatures()
+    vp = vgg.init(jax.random.PRNGKey(1), z((1, 64, 64, 3)))
+    feats = jax.eval_shape(
+        lambda p: vgg_pool4_pallas(p["params"], z((b * f, h, w, 3))), vp
+    )
+    assert feats.shape == (b * f, 16, 16, 512)
+
+
 def test_chn_training_grads_trace_at_production_shape():
     """The production train-shape VJP — fused trunk AND tail backwards
     engage at 256² (dispatch-threshold tests pin that) — must trace,
