@@ -369,14 +369,20 @@ def dfpn_infer_apply(
     base_size: int = 256,
     use_softmax: bool = False,
     interpret: bool = False,
+    pallas_sep4d: bool = False,
+    pallas_mixer: bool = True,
+    pallas_flow: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Pure-function DFPN forward for serving: ``DFPN.__call__`` with the
-    separable 4-D conv running on the fused Pallas kernel
-    (ops/pallas_sep4d.py) instead of six XLA convs over 16x16 tiles.
+    """Pure-function DFPN forward for serving: ``DFPN.__call__`` with each
+    stage on its measured-fastest path. On-chip (v5e, config-4 shapes) the
+    fused Pallas kernels win only for the correlation mixer (1.4 vs 2.3 ms);
+    the separable 4-D conv (35.5 vs 28.8 ms) and the flow estimators (55.9
+    vs 34.9 ms) run faster as XLA convs with the stride-folding rewrites
+    (models/nn_ext.py), so those default to the flax-module paths — see
+    BENCH_NOTES.md. The losing kernels stay available behind the flags.
 
-    Identical math and identical param tree to the flax module (the mixer
-    and the two flow estimators apply through their own modules); parity
-    is tested against ``DFPN.apply`` (tests/test_pallas_sep4d.py).
+    Identical math and identical param tree to the flax module; parity is
+    tested against ``DFPN.apply`` (tests/test_pallas_sep4d.py).
     Reference: model_dfpn.py:46-101.
     """
     from master_thesis_tpu.ops.pallas_sep4d import (
@@ -409,25 +415,39 @@ def dfpn_infer_apply(
         jax.lax.stop_gradient(vgg_feats_refs),
         v_ref,
     )
-    corr = sep4d_apply_pallas(
-        p["separable4d"], corr, dtype=dtype, interpret=interpret
-    )
+    if pallas_sep4d:
+        corr = sep4d_apply_pallas(
+            p["separable4d"], corr, dtype=dtype, interpret=interpret
+        )
+    else:
+        corr = SeparableConv4d(dtype=dtype).apply(
+            {"params": p["separable4d"]}, corr
+        )
     if use_softmax:
         corr = softmax_3d(corr)
 
-    flow_16 = mixer_apply_pallas(
-        p["mixer"], corr, corr_size=base_size // 16, dtype=dtype,
-        interpret=interpret,
-    )
+    if pallas_mixer:
+        flow_16 = mixer_apply_pallas(
+            p["mixer"], corr, corr_size=base_size // 16, dtype=dtype,
+            interpret=interpret,
+        )
+    else:
+        flow_16 = AlignmentCorrelationMixer(
+            corr_size=base_size // 16, dtype=dtype
+        ).apply({"params": p["mixer"]}, corr)
     flow_64_pre = flows_ops.resize_flow(flow_16, (s64, s64), mode="bilinear")
-    flow_64 = flow_estimator_apply_pallas(
-        p["flow_64"], x_t_64, m_t_64, x_r_64, m_r_64, flow_64_pre,
-        dtype=dtype, interpret=interpret,
-    )
+
+    def flow_est(name, *args):
+        if pallas_flow:
+            return flow_estimator_apply_pallas(
+                p[name], *args, dtype=dtype, interpret=interpret
+            )
+        return FlowEstimator(dtype=dtype).apply({"params": p[name]}, *args)
+
+    flow_64 = flow_est("flow_64", x_t_64, m_t_64, x_r_64, m_r_64, flow_64_pre)
     flow_256_pre = flows_ops.resize_flow(flow_64, (s256, s256), mode="bilinear")
-    flow_256 = flow_estimator_apply_pallas(
-        p["flow_256"], x_t_256, m_t_256, x_r_256, m_r_256, flow_256_pre,
-        dtype=dtype, interpret=interpret,
+    flow_256 = flow_est(
+        "flow_256", x_t_256, m_t_256, x_r_256, m_r_256, flow_256_pre
     )
 
     return corr, flow_16, flow_64, flows_ops.resize_flow(

@@ -17,6 +17,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+# Trace-time kill switches for the exact stride-folding regroupings (A/B
+# measurement + escape hatch: the rewrites are forward-exact, but their
+# VJPs lower differently than the plain strided forms — flip these before
+# tracing to compare training-step timings on chip).
+USE_S2D_CONV = True
+USE_PHASE_TRANSPOSE = True
+
+
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
     return jnp.where(x >= 0, x, negative_slope * x)
 
@@ -166,7 +174,8 @@ class Conv(nn.Module):
         )
         s = self.strides[0]
         use_s2d = (
-            s > 1
+            USE_S2D_CONV
+            and s > 1
             and self.strides[1] == s
             and self.dilation == (1, 1)
             and x.shape[1] % s == 0
@@ -279,7 +288,8 @@ class ConvTranspose2dTorch(nn.Module):
         )
         s = self.strides[0]
         exact_2x = (
-            self.strides == (2, 2)
+            USE_PHASE_TRANSPOSE
+            and self.strides == (2, 2)
             and kh == kw
             and self.padding[0] == self.padding[1]
             # out = (in-1)·2 - 2p + k + op == 2·in  <=>  op == 2p - k + 2

@@ -60,7 +60,9 @@ def _tap_masks_r(w_img: int, hw: int, r: int) -> np.ndarray:
     return masks
 
 
-def _accum_taps_tile(src, w_flat, masks_ref, w_img, ksize=3, mask_r=1):
+def _accum_taps_tile(
+    src, w_flat, masks_ref, w_img, ksize=3, mask_r=1, scratch_ref=None
+):
     """(Cout, hw) f32 = ``ksize``² conv of one ``(Cin, hw)`` tile via
     3-tap groups (K = 3*Cin per matmul — full MXU contraction depth).
 
@@ -68,6 +70,14 @@ def _accum_taps_tile(src, w_flat, masks_ref, w_img, ksize=3, mask_r=1):
     conv's own radius may be smaller. Rolls run in f32 (Mosaic's rotate is
     32-bit only); each group's stack is cast to the weights' dtype at its
     matmul. The center tap needs no mask.
+
+    ``scratch_ref``: optional ``(>=3*Cin, hw)`` f32 VMEM scratch. When
+    given, each group's taps are stored to it and read back instead of
+    ``jnp.concatenate``-d: a roll lowers to a *lazily offset* vector
+    layout, and Mosaic cannot concatenate operands whose lane offsets
+    differ when ``hw`` isn't register-aligned ("result/input offset
+    mismatch on non-concat dimension" on real silicon at e.g. hw=1216);
+    the store/load round-trip forces a normalized layout.
     """
     cin, hw = src.shape
     r = ksize // 2
@@ -93,7 +103,12 @@ def _accum_taps_tile(src, w_flat, masks_ref, w_img, ksize=3, mask_r=1):
             k_m = (dy + mask_r) * n_m + (dx + mask_r)
             shifted = pltpu.roll(src_f32, (-off) % hw, 1)
             taps.append(shifted * masks_ref[k_m : k_m + 1, :])
-        stacked = jnp.concatenate(taps, axis=0).astype(w_flat.dtype)
+        if scratch_ref is None:
+            stacked = jnp.concatenate(taps, axis=0).astype(w_flat.dtype)
+        else:
+            for t_i, tap in enumerate(taps):
+                scratch_ref[t_i * cin : (t_i + 1) * cin, :] = tap
+            stacked = scratch_ref[: len(taps) * cin, :].astype(w_flat.dtype)
         wg = w_flat[:, g0 * cin : (g0 + len(group)) * cin]
         z = jax.lax.dot(
             wg, stacked, preferred_element_type=jnp.float32, precision=prec
@@ -212,14 +227,20 @@ def _band_tap_masks_r(
 
 def _conv_stack_band_kernel(w_img, mask_r, spec, x_ref, masks_ref, *rest):
     """One (image, band) step of a banded conv stack. x_ref: (1, 1, Cin,
-    BHW); masks_ref: (1, (2*mask_r+1)², BHW) band-specific planes."""
-    out_ref = rest[-1]
-    wb = rest[:-1]
+    BHW); masks_ref: (1, (2*mask_r+1)², BHW) band-specific planes; the
+    trailing ref is the tap-group VMEM scratch (see _accum_taps_tile)."""
+    out_ref, scratch_ref = rest[-2], rest[-1]
+    wb = rest[:-2]
     x = x_ref[0, 0]
     masks = masks_ref[0]
     for i, (ksize, relu) in enumerate(spec):
         w, b = wb[2 * i], wb[2 * i + 1]
-        acc = _accum_taps_tile(x, w[:], masks, w_img, ksize, mask_r) + b[:]
+        acc = (
+            _accum_taps_tile(
+                x, w[:], masks, w_img, ksize, mask_r, scratch_ref
+            )
+            + b[:]
+        )
         if relu:
             acc = jnp.maximum(acc, 0.0)
         x = acc.astype(x_ref.dtype)
@@ -228,9 +249,9 @@ def _conv_stack_band_kernel(w_img, mask_r, spec, x_ref, masks_ref, *rest):
 
 def _stack_band_rows(cmax: int, w_img: int, itemsize: int = 2) -> int:
     """Interior band height keeping the stack's working set (input +
-    f32 accumulator + 3-tap group stack + output, widest conv) inside the
-    VMEM window."""
-    per_lane = 8 * cmax * itemsize + 4 * cmax
+    f32 accumulator + 3-tap group stack + f32 tap scratch + output,
+    widest conv) inside the VMEM window."""
+    per_lane = 8 * cmax * itemsize + 4 * cmax + 12 * cmax
     lanes = (64 << 20) // per_lane
     return max(lanes // w_img, 1)
 
@@ -295,6 +316,7 @@ def conv_stack_banded(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, n_bands, cout, bhw), x.dtype),
+        scratch_shapes=[pltpu.VMEM((3 * cmax, bhw), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

@@ -101,20 +101,10 @@ def dfpn_align_fn(cfg, dfpn_model, dfpn_params, vgg_apply: Callable) -> Callable
         def apply_fn(p, *a):
             return dfpn_model.apply(p, *a)
 
-    vgg_params = getattr(vgg_apply, "params", None)
-    use_pallas_vgg = (
-        cfg.use_pallas
-        and jax.default_backend() in ("tpu", "axon")
-        and vgg_params is not None
-    )
-
+    # The fused pool-4 kernel (models/vgg.py:vgg_pool4_pallas) measured
+    # 17.7 ms vs XLA's 8.2 at config-4 shapes on v5e (BENCH_NOTES.md) —
+    # XLA's conv fusion already wins here, so serving keeps the module.
     def pool4(x):
-        if use_pallas_vgg:
-            from master_thesis_tpu.models.vgg import vgg_pool4_pallas
-
-            return vgg_pool4_pallas(
-                vgg_params["params"], x, dtype=_dtype(cfg)
-            )
         return vgg_apply(x, normalize_input=False)[3]
 
     def align_fn(x_t, m_t, x_r, m_r):

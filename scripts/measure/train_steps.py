@@ -11,8 +11,11 @@ rng = np.random.RandomState(0)
 # --- CHN production train step (B=8, F=5, 256^2, CPN aligner) ---
 cpn_model, cpn_params, cpn_align = build_mod.build_cpn(cfg)
 chn_model, chn_params = build_mod.build_chn(cfg)
-st = state_lib.create_train_state(chn_model.apply, chn_params, cfg, steps_per_epoch=2000)
-step = chn_task.make_train_step(chn_model.apply, cpn_align, vgg_apply)
+# The CLI trains through chn_train_fn (the fused-Pallas-trunk custom_vjp
+# path on TPU backends, __main__.py) — measure THAT, not the flax module.
+chn_apply = build_mod.chn_train_fn(cfg, chn_model)
+st = state_lib.create_train_state(chn_apply, chn_params, cfg, steps_per_epoch=2000)
+step = chn_task.make_train_step(chn_apply, cpn_align, vgg_apply)
 b, f, h, w = 8, 5, 256, 256
 y = rng.rand(b,f,h,w,3).astype(np.float32)
 m = (rng.rand(b,f,h,w,1) > 0.9).astype(np.float32)

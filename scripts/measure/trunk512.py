@@ -31,11 +31,11 @@ def timeit(fn, *a, iters=5):
 
 
 banded = jax.jit(lambda y: rrdb_trunk_pallas_banded(y, params, NB))
-t = timeit(banded)
+t = timeit(banded, x)
 print(f"banded Pallas trunk: {t:8.2f} ms  (~{flops/(t*1e-3)/1e12:.1f} TFLOP/s)", flush=True)
 
 xla = jax.jit(lambda y: rrdb_trunk_xla(y, params, NB, dtype=jnp.bfloat16))
-t = timeit(xla)
+t = timeit(xla, x)
 print(f"XLA trunk:           {t:8.2f} ms  (~{flops/(t*1e-3)/1e12:.1f} TFLOP/s)", flush=True)
 
 # parity spot-check banded vs xla at bf16 (loose: bf16 rounding)

@@ -185,9 +185,13 @@ def test_dfpn_infer_apply_matches_module(rng):
 
     variables = model.init(jax.random.PRNGKey(0), x_t, m_t, x_r, m_r, f_t, f_r)
     want = model.apply(variables, x_t, m_t, x_r, m_r, f_t, f_r)
+    # Exercise every fused kernel through the twin (the serving defaults
+    # keep only the measured winners — the mixer — but the losing kernels
+    # stay available behind the flags and must stay correct).
     got = dfpn_infer_apply(
         variables, x_t, m_t, x_r, m_r, f_t, f_r,
         dtype=jnp.float32, base_size=base, interpret=True,
+        pallas_sep4d=True, pallas_flow=True,
     )
     assert len(got) == len(want) == 4
     for g, wnt in zip(got, want):
