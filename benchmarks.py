@@ -17,7 +17,10 @@ import time
 import numpy as np
 
 
-def _timeit(fn, *args, iters=5):
+def _timeit(fn, *args, iters=20):
+    # 20 iterations bounded by ONE trailing fetch: at iters=5 the ~33 ms
+    # relay round-trip still inflated each step by ~6.6 ms (r1/r2 numbers
+    # carry that bias; r3 onward uses 20).
     out = fn(*args)
     _force(out)
     t0 = time.perf_counter()

@@ -166,13 +166,21 @@ class FlowEstimator(nn.Module):
             [x_refs, x_t, m_refs, m_t, flow_pre], axis=-1
         ).reshape(b * f, h, w, 10).astype(self.dtype)
 
+        # Both stride-folding rewrites opt OUT here: an on-chip e2e A/B of
+        # the align path (scripts/measure/dfpn_align_killswitch_ab.py,
+        # config-4 geometry) measured s2d +3.7 ms and phase-transpose
+        # +3.4 ms inside the estimators (74.4 -> 67.0 ms with both off) —
+        # XLA tiles these 128-channel strided convs well already, and the
+        # rewrites' reshapes break its conv<->conv fusion.
         conv = lambda feats, k, s, name: Conv(
             features=feats, kernel_size=(k, k), strides=(s, s),
             padding=(k // 2, k // 2), dtype=self.dtype, name=name,
+            use_s2d=False,
         )
         up = lambda k, p, name: ConvTranspose2dTorch(
             features=128, kernel_size=(k, k), strides=(2, 2), padding=(p, p),
             output_padding=(1, 1), dtype=self.dtype, name=name,
+            use_phase=False,
         )
 
         # (kernel, stride) schedule mirroring the reference Sequential.

@@ -10,7 +10,7 @@ as an input-dilated correlation with a spatially flipped kernel — a single
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -158,6 +158,11 @@ class Conv(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # Per-module override of USE_S2D_CONV (None = module global). The
+    # regrouping is exact either way; which lowering is faster is
+    # shape-dependent (on v5e it wins for the CHN head, loses inside the
+    # DFPN flow estimators — BENCH_NOTES.md).
+    use_s2d: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
@@ -174,7 +179,7 @@ class Conv(nn.Module):
         )
         s = self.strides[0]
         use_s2d = (
-            USE_S2D_CONV
+            (USE_S2D_CONV if self.use_s2d is None else self.use_s2d)
             and s > 1
             and self.strides[1] == s
             and self.dilation == (1, 1)
@@ -271,6 +276,9 @@ class ConvTranspose2dTorch(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # Per-module override of USE_PHASE_TRANSPOSE (None = module global);
+    # see Conv.use_s2d.
+    use_phase: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
@@ -288,7 +296,7 @@ class ConvTranspose2dTorch(nn.Module):
         )
         s = self.strides[0]
         exact_2x = (
-            USE_PHASE_TRANSPOSE
+            (USE_PHASE_TRANSPOSE if self.use_phase is None else self.use_phase)
             and self.strides == (2, 2)
             and kh == kw
             and self.padding[0] == self.padding[1]

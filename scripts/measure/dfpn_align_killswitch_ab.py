@@ -1,0 +1,71 @@
+"""A/B the module-path DFPN align with the nn_ext stride-folding kill
+switches toggled (config-4 geometry). Hunts the ~9 ms align regression
+74.4 ms vs r2's ~65: the rewrites were timing-neutral in TRAINING
+(dfpn_train_ab.py) but serving was never A/B'd e2e."""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from master_thesis_tpu.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from master_thesis_tpu.config import Config
+from master_thesis_tpu.models import nn_ext
+from master_thesis_tpu.models.dfpn import dfpn_align, prepare_vgg_input
+from master_thesis_tpu.train import build as build_mod
+
+B, F, H, W = 4, 5, 256, 256
+ITERS = 20
+
+cfg = Config(compute_dtype="bfloat16")
+_, _, vgg_apply = build_mod.build_vgg(cfg)
+model, params = build_mod.build_dfpn(cfg, vgg_apply)
+
+rng = np.random.RandomState(0)
+x_t = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+m_t = jnp.asarray((rng.rand(B, H, W, 1) > 0.9).astype(np.float32))
+x_r = jnp.asarray(rng.rand(B, F, H, W, 3).astype(np.float32))
+m_r = jnp.asarray((rng.rand(B, F, H, W, 1) > 0.9).astype(np.float32))
+
+
+def pool4(x):
+    return vgg_apply(x, normalize_input=False)[3]
+
+
+def make_align():
+    def align_fn(x_t, m_t, x_r, m_r):
+        b, f, h, w, _ = x_r.shape
+        feats_t = pool4(prepare_vgg_input(x_t, size=model.base_size))
+        feats_r = pool4(
+            prepare_vgg_input(x_r.reshape(b * f, h, w, 3), size=model.base_size)
+        )
+        feats_r = feats_r.reshape(b, f, *feats_r.shape[1:])
+        return dfpn_align(
+            lambda p, *a: model.apply(p, *a),
+            params, x_t, m_t, x_r, m_r, feats_t, feats_r,
+            warp_precision=jax.lax.Precision.DEFAULT,
+        )
+    return jax.jit(align_fn)
+
+
+def timeit(fn):
+    out = fn(x_t, m_t, x_r, m_r)
+    float(np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(x_t, m_t, x_r, m_r)
+    float(np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])))
+    return (time.perf_counter() - t0) / ITERS * 1e3
+
+
+for s2d, phase in ((True, True), (False, True), (True, False), (False, False)):
+    nn_ext.USE_S2D_CONV = s2d
+    nn_ext.USE_PHASE_TRANSPOSE = phase
+    try:
+        dt = timeit(make_align())
+        print(f"s2d={int(s2d)} phase={int(phase)}: {dt:7.2f} ms", flush=True)
+    except Exception as e:
+        print(f"s2d={int(s2d)} phase={int(phase)}: FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)
