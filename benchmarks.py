@@ -207,11 +207,21 @@ def config_5():
         m[t, 150 + 12 * t : 270 + 12 * t, 200:330] = 1
     x = (1 - m) * y + m * 0.45
 
+    # Device-resident inputs + one trailing scalar fetch, the same
+    # methodology as configs 1-4: through the remote relay (~38 MB/s) the
+    # 67 MB of inputs + 38 MB output would otherwise add ~2.7 s of tunnel
+    # time per call — an artifact of this machine's TPU attachment, not of
+    # the serving path (a real TPU host moves these over PCIe in ~10 ms).
+    import jax
+
+    x_d, m_d = jnp.asarray(x), jnp.asarray(m)
+    float(np.asarray(x_d.ravel()[0]))
     for algo in ("ff", "ip", "cp"):
         fn = getattr(inp, f"inpaint_{algo}")
-        fn(x, m)  # warmup/compile
+        out = np.asarray(fn(x_d, m_d, as_numpy=False))  # warmup/compile
         t0 = time.perf_counter()
-        out = fn(x, m)
+        dev = fn(x_d, m_d, as_numpy=False)
+        float(np.asarray(jax.device_get(dev.ravel()[0])))
         dt = time.perf_counter() - t0
         assert np.isfinite(out).all()
         # Quality vs the clean sequence (BASELINE.md requires quality per

@@ -69,17 +69,21 @@ def _bucket(n: int, step: int = 8) -> int:
     return max(step, -(-n // step) * step)
 
 
-def _pad_frames(x: np.ndarray, m: np.ndarray, fp: int):
+def _pad_frames(x, m, fp: int):
     """Pads to ``fp`` frames: frames replicate the last real frame (never
     referenced — candidate indices are bounded by the real count), masks
-    are zero (hole-free => inert under every algorithm's update rule)."""
+    are zero (hole-free => inert under every algorithm's update rule).
+    jnp ops so device-resident inputs stay on device (a host round-trip
+    through the remote relay costs seconds at 512² sequences)."""
     f = x.shape[0]
     if fp == f:
         return x, m
-    reps = np.repeat(x[-1:], fp - f, axis=0)
+    reps = jnp.repeat(x[-1:], fp - f, axis=0)
     return (
-        np.concatenate([x, reps], axis=0),
-        np.concatenate([m, np.zeros((fp - f,) + m.shape[1:], m.dtype)], axis=0),
+        jnp.concatenate([jnp.asarray(x), reps], axis=0),
+        jnp.concatenate(
+            [jnp.asarray(m), jnp.zeros((fp - f,) + m.shape[1:], m.dtype)], axis=0
+        ),
     )
 
 
@@ -141,11 +145,15 @@ class Inpainter:
     # ------------------------------------------------------------------ ff
 
     def inpaint_ff(
-        self, x: np.ndarray, m: np.ndarray, s: int = 1, D: int = 20, e: float = 1.0
+        self, x: np.ndarray, m: np.ndarray, s: int = 1, D: int = 20, e: float = 1.0,
+        as_numpy: bool = True,
     ) -> np.ndarray:
         """Frame-by-frame, vectorized over frames (reference :87-135).
 
         x: (F, H, W, 3); m: (F, H, W, 1). Returns (F, H, W, 3).
+        ``as_numpy=False`` returns the device array without the
+        device->host fetch (callers that keep the result on device —
+        benchmarking, chained processing).
         """
         if not self.device_loops:
             return self.inpaint_ff_host(x, m, s, D, e)
@@ -176,7 +184,7 @@ class Inpainter:
             jnp.asarray(xp), jnp.asarray(mp), jnp.asarray(valid),
             jnp.asarray(valid_ahead), jnp.asarray(ref_idx),
         )
-        return np.asarray(out[:F])
+        return np.asarray(out[:F]) if as_numpy else out[:F]
 
     def _ff_program(self, F: int, n_rounds: int, e: float) -> Callable:
         """``run(x, m, valid (R,F) bool, valid_ahead (R,F) bool,
@@ -269,7 +277,8 @@ class Inpainter:
     # ------------------------------------------------------------------ ip
 
     def inpaint_ip(
-        self, x: np.ndarray, m: np.ndarray, s: int = 1, D: int = 20, e: float = 1.0
+        self, x: np.ndarray, m: np.ndarray, s: int = 1, D: int = 20, e: float = 1.0,
+        as_numpy: bool = True,
     ) -> np.ndarray:
         """Inpaint-and-propagate (reference :137-191): center-out order,
         previously inpainted frames serve as references. The inter-frame
@@ -300,7 +309,7 @@ class Inpainter:
             jnp.asarray(xp), jnp.asarray(mp), jnp.asarray(t_arr),
             jnp.asarray(cand_tab), jnp.asarray(n_cands),
         )
-        return np.asarray(out[:F])
+        return np.asarray(out[:F]) if as_numpy else out[:F]
 
     def _ip_program(self, F: int, e: float) -> Callable:
         """``run(x, m, t_arr (F,), cand_tab (F, F-1), n_cands (F,))`` —
@@ -381,7 +390,8 @@ class Inpainter:
     # ------------------------------------------------------------------ cp
 
     def inpaint_cp(
-        self, x: np.ndarray, m: np.ndarray, N: int = 20, s: int = 1, e: float = 1.0
+        self, x: np.ndarray, m: np.ndarray, N: int = 20, s: int = 1, e: float = 1.0,
+        as_numpy: bool = True,
     ) -> np.ndarray:
         """Copy-and-propagate (reference :193-254): N alternating-parity
         passes, each half-step batched over all active frames."""
@@ -407,7 +417,7 @@ class Inpainter:
             jnp.asarray(xp), jnp.asarray(mp), jnp.asarray(parity),
             jnp.asarray(valid), jnp.asarray(ref_idx),
         )
-        return np.asarray(out[:F])
+        return np.asarray(out[:F]) if as_numpy else out[:F]
 
     def _cp_program(self, F: int, N: int, e: float) -> Callable:
         """``run(x, m, parity (2,F), valid (2,F), ref_idx (2,F))`` — parity
