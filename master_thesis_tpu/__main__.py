@@ -177,6 +177,7 @@ def run_chn_train(cfg):
     train_step = chn_task.make_train_step(
         chn_apply, align_fn, vgg_apply,
         ref_sharding=trainer.ref_sharding, donate=cfg.donate_buffers,
+        perceptual_grad=cfg.perceptual_grad,
     )
     eval_step = chn_task.make_eval_step(chn_apply, align_fn, vgg_apply, lpips_fn=lpips_fn)
     args = lambda b: (b["x"], b["m"], b["y"])

@@ -107,6 +107,12 @@ class Config:
     # XLA-remat backward (exact gradient of the XLA twin) instead of the
     # fused backward kernel.
     use_pallas_bwd: bool = True
+    # The reference's VGG extractor detaches its pool features
+    # (model_vgg.py:43), so its CHN perceptual loss contributes no
+    # gradient — it only logs. False (default) reproduces that training
+    # math exactly; True turns the perceptual term into a live gradient
+    # (a documented improvement over the reference, not parity).
+    perceptual_grad: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
     def __post_init__(self):
@@ -157,6 +163,7 @@ class Config:
         parser.add_argument("--num_workers", type=int, default=0)
         parser.add_argument("--loader_processes", default=False, **boolean)
         parser.add_argument("--fast_simulator", default=True, **boolean)
+        parser.add_argument("--perceptual_grad", default=False, **boolean)
         parser.add_argument("--train_max_iterations", type=int, default=2000)
         parser.add_argument("--validation_max_iterations", type=int, default=200)
         parser.add_argument("--lr", type=float, default=1e-4)

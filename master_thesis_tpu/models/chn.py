@@ -457,7 +457,8 @@ def chn_infer_apply(
     ).reshape(b, f, h, w, 3)
     x_t = jnp.broadcast_to(x_target[:, None], (b, f, h, w, c))
     v_t = jnp.broadcast_to(v_target[:, None], (b, f, h, w, 1))
-    y_hat = jnp.clip(nn_output.astype(jnp.float32) * std + mean, 0.0, 1.0)
+    out_dtype = jnp.result_type(x_target.dtype, jnp.float32)
+    y_hat = jnp.clip(nn_output.astype(out_dtype) * std + mean, 0.0, 1.0)
     y_hat_comp = v_t * x_t + (1 - v_t) * y_hat
     return y_hat, y_hat_comp
 
@@ -506,6 +507,7 @@ class CHN(nn.Module):
             remat=self.remat, name="nn",
         )(nn_input).reshape(b, f, h, w, 3)
 
-        y_hat = jnp.clip(nn_output.astype(jnp.float32) * std + mean, 0.0, 1.0)
+        out_dtype = jnp.result_type(x_target.dtype, jnp.float32)
+        y_hat = jnp.clip(nn_output.astype(out_dtype) * std + mean, 0.0, 1.0)
         y_hat_comp = v_t * x_t + (1 - v_t) * y_hat
         return y_hat, y_hat_comp

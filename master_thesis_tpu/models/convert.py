@@ -25,28 +25,32 @@ def _np(t) -> np.ndarray:
     return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
 
 
-def conv_params(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
-    """Torch Conv2d ``{prefix}.weight/bias`` -> flax Conv params."""
+def conv_params(sd: Mapping, prefix: str, dtype=np.float32) -> Dict[str, np.ndarray]:
+    """Torch Conv2d ``{prefix}.weight/bias`` -> flax Conv params.
+
+    ``dtype``: checkpoints convert to float32 (the default); the f64
+    backward/trajectory parity tests pass ``np.float64`` to keep the torch
+    doubles lossless."""
     w = _np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)
-    out = {"kernel": w.astype(np.float32)}
+    out = {"kernel": w.astype(dtype)}
     if f"{prefix}.bias" in sd:
-        out["bias"] = _np(sd[f"{prefix}.bias"]).astype(np.float32)
+        out["bias"] = _np(sd[f"{prefix}.bias"]).astype(dtype)
     return out
 
 
-def conv_transpose_params(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+def conv_transpose_params(sd: Mapping, prefix: str, dtype=np.float32) -> Dict[str, np.ndarray]:
     """Torch ConvTranspose2d -> ConvTranspose2dTorch params (I kept on axis 2)."""
     w = _np(sd[f"{prefix}.weight"]).transpose(2, 3, 0, 1)
-    out = {"kernel": w.astype(np.float32)}
+    out = {"kernel": w.astype(dtype)}
     if f"{prefix}.bias" in sd:
-        out["bias"] = _np(sd[f"{prefix}.bias"]).astype(np.float32)
+        out["bias"] = _np(sd[f"{prefix}.bias"]).astype(dtype)
     return out
 
 
-def dense_params(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
-    out = {"kernel": _np(sd[f"{prefix}.weight"]).T.astype(np.float32)}
+def dense_params(sd: Mapping, prefix: str, dtype=np.float32) -> Dict[str, np.ndarray]:
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T.astype(dtype)}
     if f"{prefix}.bias" in sd:
-        out["bias"] = _np(sd[f"{prefix}.bias"]).astype(np.float32)
+        out["bias"] = _np(sd[f"{prefix}.bias"]).astype(dtype)
     return out
 
 
@@ -63,10 +67,10 @@ def strip_module_prefix(sd: Mapping) -> Dict:
 _VGG16_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
 
 
-def vgg16_from_torch(sd: Mapping) -> Dict:
+def vgg16_from_torch(sd: Mapping, dtype=np.float32) -> Dict:
     """torchvision vgg16 state dict -> VGGFeatures params."""
     return {
-        f"conv_{j}": conv_params(sd, f"features.{idx}")
+        f"conv_{j}": conv_params(sd, f"features.{idx}", dtype=dtype)
         for j, idx in enumerate(_VGG16_CONV_IDX)
     }
 
@@ -115,12 +119,12 @@ def cpn_aux_from_torch(sd: Mapping) -> Dict:
 # ---------------------------------------------------------------------------
 
 
-def rrdbnet_from_torch(sd: Mapping, prefix: str = "", nb: int = 20) -> Dict:
+def rrdbnet_from_torch(sd: Mapping, prefix: str = "", nb: int = 20, dtype=np.float32) -> Dict:
     """Torch RRDBNet (reference model_chn.py:506-555) -> flax RRDBNet params."""
     p = prefix
     out: Dict = {}
     for i in range(5):
-        cp = conv_params(sd, f"{p}conv_first.{i}")
+        cp = conv_params(sd, f"{p}conv_first.{i}", dtype=dtype)
         out[f"conv_first_{i}_kernel"] = cp["kernel"]
         out[f"conv_first_{i}_bias"] = cp["bias"]
     for i in range(nb):
@@ -128,21 +132,21 @@ def rrdbnet_from_torch(sd: Mapping, prefix: str = "", nb: int = 20) -> Dict:
         for j in (1, 2, 3):
             rdb = {}
             for k in range(1, 6):
-                cp = conv_params(sd, f"{p}rrdb_trunk.{i}.rdb{j}.conv{k}")
+                cp = conv_params(sd, f"{p}rrdb_trunk.{i}.rdb{j}.conv{k}", dtype=dtype)
                 rdb[f"conv{k}_kernel"] = cp["kernel"]
                 rdb[f"conv{k}_bias"] = cp["bias"]
             blk[f"rdb{j}"] = rdb
         out[f"rrdb_{i}"] = blk
     for name in ("trunk_conv", "upconv1", "upconv2", "hr_conv", "conv_last"):
-        cp = conv_params(sd, f"{p}{name}")
+        cp = conv_params(sd, f"{p}{name}", dtype=dtype)
         out[f"{name}_kernel"] = cp["kernel"]
         out[f"{name}_bias"] = cp["bias"]
     return out
 
 
-def chn_from_torch(sd: Mapping, nb: int = 20) -> Dict:
+def chn_from_torch(sd: Mapping, nb: int = 20, dtype=np.float32) -> Dict:
     """Reference CHN Lightning checkpoint state dict -> flax CHN params."""
-    return {"nn": rrdbnet_from_torch(sd, prefix="nn.", nb=nb)}
+    return {"nn": rrdbnet_from_torch(sd, prefix="nn.", nb=nb, dtype=dtype)}
 
 
 # ---------------------------------------------------------------------------

@@ -88,9 +88,10 @@ def sobel_grads(y: jnp.ndarray) -> jnp.ndarray:
     # 2*ch+j being Sobel kernel j applied to input channel ch.
     k = jnp.stack([_GRAD_H, _GRAD_V], axis=-1)  # (3, 3, 2)
     k = jnp.tile(k, (1, 1, c)).reshape(3, 3, 1, 2 * c)
+    dtype = jnp.result_type(y.dtype, jnp.float32)
     out = jax.lax.conv_general_dilated(
-        y.astype(jnp.float32),
-        k.astype(jnp.float32),
+        y.astype(dtype),
+        k.astype(dtype),
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

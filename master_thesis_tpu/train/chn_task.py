@@ -10,6 +10,13 @@ Loss parity notes (reference model_chn.py:324-376):
     - non-hole (w=0.5), visible-hole (w=2) on ``y_hat``; non-visible-hole
       (w=1) on the composite; all sum-normalized masked L1.
     - perceptual (w=0.5) over 5 VGG pool maps of the folded ``(B*F)`` frames.
+      The reference's VGG extractor ``detach()``es every pool feature
+      (model_vgg.py:43), so in torch the perceptual term contributes ZERO
+      gradient to the generator — it is a logged scalar only. The default
+      (``perceptual_grad=False``) reproduces that exactly (stop_gradient on
+      both feature sets), which is required for optimizer-trajectory parity
+      with the reference (tests/test_reference_parity.py). ``--perceptual_grad``
+      opts into a live perceptual gradient as a documented deviation.
     - Sobel gradient loss (w=1). The reference's ``squeeze(2)`` formulation
       only supports one reference frame (frames_n=2); here it is applied to
       the folded ``(B*F)`` frames, which is identical for frames_n=2 and the
@@ -43,8 +50,13 @@ def compute_loss(
     y_hat_comp: jnp.ndarray,
     v_map: jnp.ndarray,
     vgg_apply: Callable,
+    perceptual_grad: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Five-part CHN loss. Shapes: y_target (B,H,W,3); y_hat (B,F,H,W,3)."""
+    """Five-part CHN loss. Shapes: y_target (B,H,W,3); y_hat (B,F,H,W,3).
+
+    ``perceptual_grad=False`` (default) stop-gradients the predicted VGG
+    features too, matching the reference's feature ``detach()``
+    (model_vgg.py:43) under which the perceptual term trains nothing."""
     b, f, h, w, c = y_hat.shape
     target = jnp.broadcast_to(y_target[:, None], y_hat.shape)
 
@@ -57,6 +69,8 @@ def compute_loss(
     y_hat_flat = y_hat.reshape(b * f, h, w, c)
     target_flat = target.reshape(b * f, h, w, c)
     feats_hat = vgg_apply(y_hat_flat)
+    if not perceptual_grad:
+        feats_hat = jax.lax.stop_gradient(feats_hat)
     feats_gt = jax.lax.stop_gradient(vgg_apply(target_flat))
     loss_perceptual = losses.perceptual(feats_hat, feats_gt, weight=0.5)
 
@@ -78,8 +92,12 @@ def make_train_step(
     vgg_apply: Callable,
     ref_sharding=None,
     donate: bool = True,
+    perceptual_grad: bool = False,
 ):
     """Builds the jitted CHN train step.
+
+    ``perceptual_grad``: see :func:`compute_loss` — False (default) matches
+    the reference's gradient-dead perceptual term.
 
     ``align_fn(x_t, m_t, x_refs, m_refs) -> (x_aligned, v_aligned, v_maps)``
     closes over frozen aligner params; gradients never flow into it.
@@ -112,7 +130,10 @@ def make_train_step(
 
         def loss_fn(params):
             y_hat, y_hat_comp = chn_apply(params, x_t, 1 - m_t, xa, va, vm)
-            total, items = compute_loss(y_t, 1 - m_t, y_hat, y_hat_comp, vm, vgg_apply)
+            total, items = compute_loss(
+                y_t, 1 - m_t, y_hat, y_hat_comp, vm, vgg_apply,
+                perceptual_grad=perceptual_grad,
+            )
             return total, items
 
         (total, items), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
