@@ -12,10 +12,12 @@ per round (each round-trip through this machine's TPU relay costs ~33 ms,
 more than a whole batched refine).
 
 - ``inpaint_ff`` (frame-by-frame, reference :87-135): independent per
-  frame, vectorized over the frame axis. Candidate order ±1, ±2, ...
-  (distance-sorted, smaller index first) matches ``get_indexes_ff``;
-  out-of-range candidates are skipped per frame via the active mask, frames
-  stop once their hole < ``e``%, the loop ends when no frame is active.
+  frame. Each frame owns a pointer into its compacted candidate list
+  (distance-sorted, smaller index first — ``get_indexes_ff``); every
+  iteration gathers up to ``compact`` still-active frames into a compact
+  batch, refines each against its own next candidate, and scatters back.
+  Frames stop once their hole < ``e``% or their candidates exhaust; the
+  loop ends when no frame is eligible.
 - ``inpaint_ip`` (inpaint-and-propagate, reference :137-191): sequential by
   design (center-out, previously inpainted frames feed later ones) —
   ``lax.scan`` over frames in reference order, ``lax.while_loop`` over each
@@ -146,7 +148,7 @@ class Inpainter:
 
     def inpaint_ff(
         self, x: np.ndarray, m: np.ndarray, s: int = 1, D: int = 20, e: float = 1.0,
-        as_numpy: bool = True,
+        as_numpy: bool = True, compact: int = 0,
     ) -> np.ndarray:
         """Frame-by-frame, vectorized over frames (reference :87-135).
 
@@ -154,85 +156,92 @@ class Inpainter:
         ``as_numpy=False`` returns the device array without the
         device->host fetch (callers that keep the result on device —
         benchmarking, chained processing).
+
+        Each iteration gathers up to ``compact`` active frames into a
+        compact batch, refines them against each frame's OWN next
+        candidate (per-frame pointer into its compacted candidate list,
+        exactly the reference's per-frame loop), and scatters back —
+        instead of refining the whole padded bucket per global round.
+        Late rounds usually have 1-2 stubborn frames active; at width 8
+        the wasted forwards drop from ``fp - active`` to
+        ``compact - active`` per step. Frames are independent in ff (refs
+        are the raw sequence), so per-frame results are identical to the
+        round-synchronized schedule. ``compact=0`` picks ``min(fp, 8)``.
         """
         if not self.device_loops:
             return self.inpaint_ff_host(x, m, s, D, e)
         F = x.shape[0]
         fp = _bucket(F)
-        offsets: List[int] = []
-        for d in range(s, D + 1, s):
-            offsets += [-d, d]
-        idx = np.arange(fp)
-        # Candidate validity is bounded by the REAL frame count; padded
-        # targets get all-False rows and stay untouched.
-        valid = np.stack([(idx + o >= 0) & (idx + o < F) for o in offsets])
-        valid[:, F:] = False
-        ref_idx = np.stack(
-            [np.clip(idx + o, 0, F - 1) for o in offsets]
-        ).astype(np.int32)
-        # Suffix-any of valid: the loop may end only when no UNFINISHED
-        # frame has a candidate in any remaining round — a single empty
-        # round must not end the sweep (each frame owns an independent
-        # compacted candidate list in the reference, model_chn.py:460-482).
-        valid_ahead = np.flip(np.logical_or.accumulate(np.flip(valid, 0), 0), 0)
+        C = compact or min(fp, 8)
+        cand_lists = [get_indexes_ff(t, F, s, D) for t in range(F)]
+        # Table width bucketed so one compile serves every (F, s, D) whose
+        # longest candidate list lands in the same bucket.
+        width = _bucket(max(1, max(len(c) for c in cand_lists)))
+        cand_tab = np.zeros((fp, width), np.int32)
+        n_cands = np.zeros((fp,), np.int32)  # padded frames: never eligible
+        for t, c in enumerate(cand_lists):
+            cand_tab[t, : len(c)] = c
+            n_cands[t] = len(c)
         xp, mp = _pad_frames(x, m, fp)
         prog = self._program(
-            ("ff", (fp,) + x.shape[1:], len(offsets), e),
-            lambda: self._ff_program(fp, len(offsets), e),
+            ("ff", (fp,) + x.shape[1:], width, C, e),
+            lambda: self._ff_program(fp, width, C, e),
         )
         out = prog(
-            jnp.asarray(xp), jnp.asarray(mp), jnp.asarray(valid),
-            jnp.asarray(valid_ahead), jnp.asarray(ref_idx),
+            jnp.asarray(xp), jnp.asarray(mp), jnp.asarray(cand_tab),
+            jnp.asarray(n_cands),
         )
         return np.asarray(out[:F]) if as_numpy else out[:F]
 
-    def _ff_program(self, F: int, n_rounds: int, e: float) -> Callable:
-        """``run(x, m, valid (R,F) bool, valid_ahead (R,F) bool,
-        ref_idx (R,F) i32)``. The round tables are runtime inputs, so one
-        compile per (padded-F, H, W) bucket serves every real sequence
-        length and offset schedule."""
+    def _ff_program(self, F: int, width: int, C: int, e: float) -> Callable:
+        """``run(x, m, cand_tab (F, width) i32, n_cands (F,) i32)``.
+
+        Per-frame candidate pointers + active-frame compaction: the while
+        loop gathers the first ``C`` eligible frames (unfinished AND
+        candidates remain), refines that compact batch against each
+        frame's own next candidate, scatters the results back, and bumps
+        the pointers. The candidate tables are runtime inputs, so one
+        compile per (padded-F, H, W, width-bucket, C) serves every real
+        sequence length and (s, D) schedule in the bucket."""
 
         @jax.jit
-        def run(x, m, valid, valid_ahead, ref_idx):
-            def unfinished(have, hole):
-                return ~have | (hole > e)
-
-            def actives(k, have, hole):
-                return valid[jnp.minimum(k, n_rounds - 1)] & unfinished(have, hole)
+        def run(x, m, cand_tab, n_cands):
+            def eligible(have, hole, kptr):
+                return (~have | (hole > e)) & (kptr < n_cands)
 
             def cond(st):
-                k, _, _, _, have, hole = st
-                ahead = valid_ahead[jnp.minimum(k, n_rounds - 1)]
-                return (k < n_rounds) & jnp.any(ahead & unfinished(have, hole))
+                x_tgt, m_tgt, y_out, have, hole, kptr = st
+                return jnp.any(eligible(have, hole, kptr))
 
             def body(st):
-                k, x_tgt, m_tgt, y_out, have, hole = st
-                active = actives(k, have, hole)
-
-                def refine(args):
-                    x_tgt, m_tgt, y_out, hole = args
-                    # ff aligns against the *original* frames, not
-                    # inpainted ones (reference :115-119 samples x, m —
-                    # the raw sequence).
-                    x_tgt, m_tgt, comp, hole = self._refine_impl(
-                        x_tgt, m_tgt, x[ref_idx[k]], m[ref_idx[k]], active
-                    )
-                    y_out = jnp.where(active[:, None, None, None], comp, y_out)
-                    return x_tgt, m_tgt, y_out, hole
-
-                # A round with an empty active set is skipped (the sweep
-                # continues: later rounds may still serve other frames).
-                x_tgt, m_tgt, y_out, hole = jax.lax.cond(
-                    jnp.any(active), refine, lambda a: a,
-                    (x_tgt, m_tgt, y_out, hole),
+                x_tgt, m_tgt, y_out, have, hole, kptr = st
+                el = eligible(have, hole, kptr)
+                # First C eligible frames; empty slots get index F and are
+                # dropped at scatter time.
+                (idx,) = jnp.nonzero(el, size=C, fill_value=F)
+                slot_ok = idx < F
+                safe = jnp.minimum(idx, F - 1)
+                r = cand_tab[safe, jnp.minimum(kptr[safe], width - 1)]
+                # ff aligns against the *original* frames, not inpainted
+                # ones (reference :115-119 samples x, m — the raw
+                # sequence).
+                xb, mb, comp, hole_b = self._refine_impl(
+                    x_tgt[safe], m_tgt[safe], x[r], m[r], slot_ok
                 )
-                return (k + 1, x_tgt, m_tgt, y_out, have | active, hole)
+                x_tgt = x_tgt.at[idx].set(xb, mode="drop")
+                m_tgt = m_tgt.at[idx].set(mb, mode="drop")
+                y_out = y_out.at[idx].set(comp, mode="drop")
+                hole = hole.at[idx].set(hole_b, mode="drop")
+                have = have.at[idx].set(True, mode="drop")
+                kptr = kptr.at[idx].add(1, mode="drop")
+                return (x_tgt, m_tgt, y_out, have, hole, kptr)
 
             init = (
-                jnp.asarray(0), x, m, x,
+                x, m, x,
                 jnp.zeros((F,), bool), jnp.full((F,), jnp.inf, jnp.float32),
+                jnp.zeros((F,), jnp.int32),
             )
-            return jax.lax.while_loop(cond, body, init)[3]
+            return jax.lax.while_loop(cond, body, init)[2]
 
         return run
 

@@ -59,16 +59,41 @@ def pair():
     return chn_t, dev, host
 
 
-def _sequence(rng, F=6, h=64, w=64):
+def _sequence(rng, F=6, h=64, w=64, static_hole=False):
     """Moving binary hole: with the identity aligner, neighbors reveal the
     target's hole gradually, so ff/ip consume several candidates per frame
-    and cp needs more than one pass — the loop logic actually exercises."""
+    and cp needs more than one pass — the loop logic actually exercises.
+
+    ``static_hole`` adds a hole region present in EVERY frame: no neighbor
+    ever reveals it, so every frame's candidate list exhausts with
+    ``inp_per > e`` — the ff/ip exhaustion exits and cp's force-finish
+    (reference model_chn.py:250-252) fire deliberately, not incidentally."""
     y = rng.rand(F, h, w, 3).astype(np.float32)
     m = np.zeros((F, h, w, 1), np.float32)
     for t in range(F):
         m[t, 10 + 4 * t : 26 + 4 * t, 16:40] = 1
+    if static_hole:
+        m[:, 4:14, w - 14 : w - 4] = 1
     x = (1 - m) * y + m * np.asarray([0.485, 0.456, 0.406], np.float32)
     return x, m
+
+
+# Geometries: the production-shaped default, and a second parameterization
+# (VERDICT r3 item 7) pinning the edge cases — frame stride s=2 with a
+# tight D=3 (two-candidate lists), a non-square sequence, candidate
+# exhaustion above ``e`` on every frame, and cp's force-finish passes
+# (N=4 makes passes 2-3 the ``i >= N - 2`` force-finish passes while real
+# holes remain).
+GEOMS = {
+    "s1_D20_64sq": dict(
+        h=64, w=64, static_hole=False,
+        ff_ip=dict(s=1, D=20), cp=dict(N=20, s=1),
+    ),
+    "s2_D3_48x64_exhaust": dict(
+        h=48, w=64, static_hole=True,
+        ff_ip=dict(s=2, D=3), cp=dict(N=4, s=2),
+    ),
+}
 
 
 def _to_torch(x, m):
@@ -83,17 +108,25 @@ def _from_torch(t):
     return t.numpy().transpose(1, 2, 3, 0)  # (C,F,H,W) -> (F,H,W,C)
 
 
+@pytest.mark.parametrize("geom", list(GEOMS))
 @pytest.mark.parametrize("algo", ["ff", "ip", "cp"])
-def test_inpaint_matches_reference(rng, algo, pair):
+def test_inpaint_matches_reference(rng, algo, geom, pair):
     chn_t, dev, host = pair
-    x, m = _sequence(rng)
+    g = GEOMS[geom]
+    x, m = _sequence(rng, h=g["h"], w=g["w"], static_hole=g["static_hole"])
+    kwargs = g["cp"] if algo == "cp" else g["ff_ip"]
+    if g["static_hole"]:
+        # The second geometry's premise: the static hole keeps every frame
+        # above e=1% after its candidates exhaust, so the exhaustion exits /
+        # force-finish rules are what terminates the loops.
+        assert m[0, 4:14].sum() * 100 / (g["h"] * g["w"]) > 1.0
     x_t, m_t = _to_torch(x, m)
     with torch.no_grad():
         # inpaint_ip/cp mutate their input tensors in place
         # (model_chn.py:155, :211 alias x/m via unsqueeze) — clone per call.
         ref_out = _from_torch(
-            getattr(chn_t, f"inpaint_{algo}")(x_t.clone(), m_t.clone())
+            getattr(chn_t, f"inpaint_{algo}")(x_t.clone(), m_t.clone(), **kwargs)
         )
     for impl in (dev, host):
-        out = getattr(impl, f"inpaint_{algo}")(x, m)
+        out = getattr(impl, f"inpaint_{algo}")(x, m, **kwargs)
         np.testing.assert_allclose(out, ref_out, atol=1e-4)
