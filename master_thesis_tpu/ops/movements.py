@@ -288,7 +288,20 @@ def grid_sample_bilinear_np(
     """Numpy twin of ops.grid_sample.grid_sample (bilinear, zeros padding).
 
     x: (N, H, W, C); grid: (N, H', W', 2) with (x, y) in [-1, 1].
+
+    The all-f32 case (the fast-simulator hot loop: one background/mask
+    frame warped into an n-frame camera path per simulated item) routes
+    to the native runtime's bit-exact single-pass kernel
+    (runtime/decode.cpp:mtt_grid_sample_bilinear_f32) when the library is
+    available; f64 grids (the exact simulator path, which keeps its
+    coordinates in f64 end-to-end) and fallback stay on the numpy path
+    below.
     """
+    if x.dtype == np.float32 and grid.dtype == np.float32:
+        from master_thesis_tpu.runtime import native
+
+        if native.is_available():
+            return native.grid_sample_bilinear(x, grid, align_corners)
     n, h, w, c = x.shape
     gx = grid[..., 0].astype(np.float64)
     gy = grid[..., 1].astype(np.float64)

@@ -29,18 +29,32 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO_PATH):
+        def build():
             try:
                 subprocess.run(
                     ["sh", os.path.join(_HERE, "build.sh")],
                     check=True, capture_output=True, timeout=120,
                 )
+                return True
             except Exception:
-                return None
+                return False
+
+        if not os.path.exists(_SO_PATH) and not build():
+            return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
+        if not hasattr(lib, "mtt_grid_sample_bilinear_f32"):
+            # Stale build from before the warp kernel existed: rebuild once.
+            if not build():
+                return None
+            try:
+                lib = ctypes.CDLL(_SO_PATH)
+            except OSError:
+                return None
+            if not hasattr(lib, "mtt_grid_sample_bilinear_f32"):
+                return None
         for name in ("mtt_jpeg_probe", "mtt_png_probe"):
             getattr(lib, name).argtypes = [
                 ctypes.c_char_p,
@@ -58,6 +72,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32,
         ]
         lib.mtt_png_decode_mask_f32.restype = ctypes.c_int
+        lib.mtt_grid_sample_bilinear_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.mtt_grid_sample_bilinear_f32.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -102,3 +123,26 @@ def decode_mask_png(path: str) -> np.ndarray:
     if rc != 0:
         raise IOError(f"png decode failed ({rc}): {path}")
     return out[..., None]
+
+
+def grid_sample_bilinear(x: np.ndarray, grid: np.ndarray, align_corners: bool) -> np.ndarray:
+    """Native bilinear grid sample, bit-exact with
+    ops/movements.py:grid_sample_bilinear_np (f64 coords, f32 lerp, zeros
+    padding via weight zeroing). x: (N,H,W,C) f32; grid: (N,OH,OW,2) f32.
+    Raises when the native runtime is unavailable (callers fall back)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    x = np.ascontiguousarray(x, np.float32)
+    grid = np.ascontiguousarray(grid, np.float32)
+    n, h, w, c = x.shape
+    oh, ow = grid.shape[1:3]
+    out = np.empty((n, oh, ow, c), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.mtt_grid_sample_bilinear_f32(
+        x.ctypes.data_as(fp), grid.ctypes.data_as(fp), out.ctypes.data_as(fp),
+        n, h, w, c, oh, ow, int(align_corners),
+    )
+    if rc != 0:
+        raise RuntimeError(f"grid_sample failed ({rc})")
+    return out

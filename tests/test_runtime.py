@@ -51,3 +51,28 @@ def test_png_mask_decode_matches_cv2(images):
 def test_jpeg_decode_missing_file():
     with pytest.raises(IOError):
         native.decode_jpeg("/nonexistent/file.jpg")
+
+
+@pytest.mark.parametrize(
+    "n,h,w,c,oh,ow,ac",
+    [
+        (5, 96, 171, 3, 64, 64, True),   # bg warp shape class (C=3)
+        (3, 64, 48, 1, 32, 40, False),   # mask warp (C=1), align_corners=False
+        (2, 17, 23, 4, 19, 11, True),    # generic channel fallback path
+    ],
+)
+def test_grid_sample_native_bitexact(n, h, w, c, oh, ow, ac):
+    """The native warp kernel is bit-exact with the numpy twin it replaces
+    (the fast-simulator hot loop routes through it; ops/movements.py).
+    Grid range ±1.3 exercises the zeros-padding out-of-bounds taps."""
+    from master_thesis_tpu.ops.movements import grid_sample_bilinear_np
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(n, h, w, c).astype(np.float32)
+    g = (rng.rand(n, oh, ow, 2) * 2.6 - 1.3).astype(np.float32)
+    got = native.grid_sample_bilinear(x, g, ac)
+    # f64 grid forces the numpy reference path (the native route only takes
+    # all-f32 inputs); coordinates are computed in f64 on both sides, so the
+    # comparison is exact, not approximate.
+    want = grid_sample_bilinear_np(x, g.astype(np.float64), ac)
+    np.testing.assert_array_equal(got, want)
