@@ -162,12 +162,22 @@ def rrdb_pallas(
     gc: int,
     w_img: int,
     interpret: bool = False,
+    big_vmem: bool = False,
 ) -> jnp.ndarray:
-    """Applies one RRDB to ``x_chw`` (N, C, H*W) via the fused kernel."""
+    """Applies one RRDB to ``x_chw`` (N, C, H*W) via the fused kernel.
+
+    ``big_vmem`` raises Mosaic's VMEM window to 100 MB (the backward
+    kernel's setting) for working sets past the default scoped window —
+    large spatial sizes (512² inputs -> HW=16384 trunk frames)."""
     n, c, hw = x_chw.shape
     wb = _rrdb_tap_weights(rrdb_params, nf, gc, x_chw.dtype)
     masks = jnp.asarray(_tap_masks(w_img, hw))
     kernel = functools.partial(_rrdb_kernel, nf, gc, w_img)
+    compiler_params = (
+        pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        if big_vmem
+        else None
+    )
     return pl.pallas_call(
         kernel,
         grid=(n,),
@@ -175,29 +185,43 @@ def rrdb_pallas(
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(wb)),
         out_specs=pl.BlockSpec((1, c, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, c, hw), x_chw.dtype),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(x_chw, masks, *wb)
 
 
-def pallas_trunk_fits(nf: int, gc: int, hw: int, itemsize: int = 2) -> bool:
-    """Whether one kernel instance's working set fits scoped VMEM (16 MB).
-
-    Per grid step the kernel holds (all (·, HW)-shaped): the f32 source
-    being rolled, the 9-tap stack (9·C_src in the weight dtype), the f32
-    accumulator segments (sum of conv outputs = nf + 4·gc rows), and the
-    x/out blocks. ``itemsize`` is the activation/weight dtype's byte width
-    (2 for the bf16 serving/training path, 4 for f32). Measured on v5e at
-    bf16: HW=4096 compiles, HW=8192 overflows by ~3.5 MB — the estimate
-    below reproduces that boundary with ~20% slack.
-    """
+def _trunk_bytes_per_lane(nf: int, gc: int, itemsize: int) -> int:
+    """Forward-kernel working set per lane: the f32 source being rolled,
+    the 9-tap stack (9·C_src in the weight dtype), the f32 accumulator
+    segments (sum of conv outputs = nf + 4·gc rows), and the x/out blocks.
+    Empirically accurate: at bf16 HW=8192 it predicts 19.9 MB vs the
+    measured ~19.5 MB overflow boundary of the 16 MB scoped window."""
     acc_rows = nf + 4 * gc
-    bytes_per_lane = (
+    return (
         9 * nf * itemsize  # tap stack of the widest source
         + nf * 4  # f32 rolled source
         + acc_rows * 4  # f32 accumulators
         + 2 * nf * itemsize  # x block + out block
     )
-    return bytes_per_lane * hw <= 12 << 20
+
+
+def pallas_trunk_fits(nf: int, gc: int, hw: int, itemsize: int = 2) -> bool:
+    """Whether one kernel instance's working set fits the default scoped
+    VMEM window (16 MB). ``itemsize`` is the activation/weight dtype's byte
+    width (2 for the bf16 serving/training path, 4 for f32). Measured on
+    v5e at bf16: HW=4096 compiles, HW=8192 overflows by ~3.5 MB — the
+    estimate reproduces that boundary with ~20% slack.
+    """
+    return _trunk_bytes_per_lane(nf, gc, itemsize) * hw <= 12 << 20
+
+
+def pallas_trunk_fits_big(nf: int, gc: int, hw: int, itemsize: int = 2) -> bool:
+    """Whether the forward kernel fits the RAISED 100 MB VMEM window
+    (``rrdb_pallas(big_vmem=True)``). The production 512² serving shape
+    (trunk HW=16384 bf16) estimates ~40 MB — in comfortably; the budget
+    leaves the same headroom ratio the scoped-window estimate proved out.
+    Measured verdict vs the banded kernel: BENCH_NOTES.md r4 table."""
+    return _trunk_bytes_per_lane(nf, gc, itemsize) * hw <= 72 << 20
 
 
 def rrdb_trunk_pallas(
@@ -207,19 +231,25 @@ def rrdb_trunk_pallas(
     nf: int = 64,
     gc: int = 32,
     interpret: bool = False,
+    big_vmem: bool = False,
 ) -> jnp.ndarray:
     """Runs the full nb-block trunk with the fused kernel.
 
     x_nhwc: (N, H, W, nf) trunk input (the RRDBNet head output). Returns the
     trunk output in NHWC, ready for trunk_conv. The caller is responsible
-    for checking :func:`pallas_trunk_fits` — at large spatial sizes (512²+)
-    the per-frame working set exceeds scoped VMEM and the XLA trunk
+    for checking :func:`pallas_trunk_fits` (default window) or
+    :func:`pallas_trunk_fits_big` (``big_vmem=True``, 100 MB window — the
+    512² serving shape); past both, the banded kernel
+    (:func:`rrdb_trunk_pallas_banded`) or the XLA trunk
     (:func:`rrdb_trunk_xla`) must be used instead.
     """
     n, h, w, c = x_nhwc.shape
     x = x_nhwc.reshape(n, h * w, c).transpose(0, 2, 1)  # (N, C, HW)
     for i in range(nb):
-        x = rrdb_pallas(x, rrdbnet_params[f"rrdb_{i}"], nf, gc, w, interpret=interpret)
+        x = rrdb_pallas(
+            x, rrdbnet_params[f"rrdb_{i}"], nf, gc, w, interpret=interpret,
+            big_vmem=big_vmem,
+        )
     return x.transpose(0, 2, 1).reshape(n, h, w, c)
 
 
@@ -707,8 +737,17 @@ def make_hybrid_trunk(
             return rrdb_trunk_pallas(
                 x.astype(dtype), params, nb=nb, nf=nf, gc=gc, interpret=interpret
             )
+        if use_pallas and pallas_trunk_fits_big(nf, gc, h * w, itemsize):
+            # Large spatial sizes (512² inputs): the full-frame kernel under
+            # a raised 100 MB VMEM window beats the banded per-RDB grid —
+            # r4 on-chip A/B at N=16 @128² nb=20: 62.2 ms (121 TFLOP/s) vs
+            # banded 110.9 (68) vs XLA 150.8 (BENCH_NOTES r4 table).
+            return rrdb_trunk_pallas(
+                x.astype(dtype), params, nb=nb, nf=nf, gc=gc,
+                interpret=interpret, big_vmem=True,
+            )
         if use_pallas and banded_trunk_fits(nf, gc, w, itemsize):
-            # Large spatial sizes (512²+): per-RDB banded kernel grid.
+            # Past even the raised window: per-RDB banded kernel grid.
             return rrdb_trunk_pallas_banded(
                 x.astype(dtype), params, nb=nb, nf=nf, gc=gc, interpret=interpret
             )

@@ -4,7 +4,7 @@ from master_thesis_tpu.cache import enable_compilation_cache
 enable_compilation_cache()
 from master_thesis_tpu.models.chn import RRDB
 from master_thesis_tpu.ops.pallas_rrdb import (
-    _band_rows, rrdb_trunk_pallas_banded, rrdb_trunk_xla,
+    _band_rows, rrdb_trunk_pallas, rrdb_trunk_pallas_banded, rrdb_trunk_xla,
 )
 
 NB, NF, GC = 20, 64, 32
@@ -32,13 +32,19 @@ def timeit(fn, *a, iters=5):
 
 banded = jax.jit(lambda y: rrdb_trunk_pallas_banded(y, params, NB))
 t = timeit(banded, x)
-print(f"banded Pallas trunk: {t:8.2f} ms  (~{flops/(t*1e-3)/1e12:.1f} TFLOP/s)", flush=True)
+print(f"banded Pallas trunk:    {t:8.2f} ms  (~{flops/(t*1e-3)/1e12:.1f} TFLOP/s)", flush=True)
+
+bigvmem = jax.jit(lambda y: rrdb_trunk_pallas(y, params, NB, big_vmem=True))
+t = timeit(bigvmem, x)
+print(f"full-frame 100MB VMEM:  {t:8.2f} ms  (~{flops/(t*1e-3)/1e12:.1f} TFLOP/s)", flush=True)
 
 xla = jax.jit(lambda y: rrdb_trunk_xla(y, params, NB, dtype=jnp.bfloat16))
 t = timeit(xla, x)
-print(f"XLA trunk:           {t:8.2f} ms  (~{flops/(t*1e-3)/1e12:.1f} TFLOP/s)", flush=True)
+print(f"XLA trunk:              {t:8.2f} ms  (~{flops/(t*1e-3)/1e12:.1f} TFLOP/s)", flush=True)
 
-# parity spot-check banded vs xla at bf16 (loose: bf16 rounding)
+# parity spot-check banded / big-vmem vs xla at bf16 (loose: bf16 rounding)
 a = np.asarray(banded(x).astype(jnp.float32))
 b = np.asarray(xla(x).astype(jnp.float32))
-print("max|banded-xla| =", np.abs(a - b).max(), flush=True)
+c = np.asarray(bigvmem(x).astype(jnp.float32))
+print("max|banded-xla|  =", np.abs(a - b).max(), flush=True)
+print("max|bigvmem-xla| =", np.abs(c - b).max(), flush=True)
