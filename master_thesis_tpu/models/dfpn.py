@@ -364,6 +364,143 @@ def flow_estimator_apply_pallas(
     return x.reshape(b, f, h, w, 2)
 
 
+def _conv_im2col(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray):
+    """k×k same-padding conv as ONE dense matmul with K = k²·Cin, in plain
+    XLA (pad + k² shifted slices + reshape-free dot). For thin-input convs
+    (the flow estimator's Cin=10 c0, where a direct conv lowers to a
+    contraction depth of 10/128 MXU lanes ≈ 13 TFLOP/s in-graph —
+    scripts/measure/align_inner_decomp.py) this keeps the contraction
+    near-full-depth while STAYING inside XLA's fusion scope, unlike a
+    Pallas kernel which pins an HBM round-trip at each boundary."""
+    kh, kw, cin, cout = kernel.shape
+    n, h, w, _ = x.shape
+    ph, pw = kh // 2, kw // 2
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    cols = jnp.concatenate(
+        [
+            jax.lax.dynamic_slice(xp, (0, dy, dx, 0), (n, h, w, cin))
+            for dy in range(kh)
+            for dx in range(kw)
+        ],
+        axis=-1,
+    )
+    # kernel[dy, dx, ci, :] reshapes to row (dy·kw + dx)·cin + ci — the
+    # concat order above.
+    return cols @ kernel.reshape(kh * kw * cin, cout) + bias
+
+
+def flow_estimator_apply_hybrid(
+    params: dict,
+    x_target: jnp.ndarray,
+    m_target: jnp.ndarray,
+    x_refs: jnp.ndarray,
+    m_refs: jnp.ndarray,
+    flow_pre: jnp.ndarray,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+    fuse_mids: bool = True,
+    c0_mode: str = "pallas",
+) -> jnp.ndarray:
+    """FlowEstimator forward with selective segment fusion — a measured
+    r4 CANDIDATE kept behind flags, NOT the production path.
+
+    The r4 per-block profile (scripts/measure/flow_profile.py, N=20 @256²
+    bf16) showed c0 (Cin=10 pads to 128 MXU lanes → ~14 TFLOP/s) and the
+    64²/32² mid segments starving STANDALONE while the 128²/256² blocks
+    ran 114-187 TFLOP/s, and this function's selective fusion duly won
+    its standalone A/B 1.7× (29.0 vs 50.4 ms,
+    scripts/measure/flow_hybrid_ab.py). In-graph it is a wash-to-loss
+    (full align 68.0 vs 66.9 ms; every ``c0_mode`` lost or tied —
+    scripts/measure/dfpn_serving_ab.py): inside the align program XLA
+    already runs those segments near this speed, and the standalone
+    baseline was layout-pessimized at the jit boundary. Production keeps
+    the plain flax module; this stays in-tree, parity-tested
+    (tests/test_pallas_sep4d.py), for future compiler/silicon re-flips.
+
+    Segment modes (exact regroupings — same products, f32 accumulation):
+
+    - ``c0_mode``: "pallas" folds the 5×5 tap set into the contraction
+      (K = 25·10 = 250 — ops/pallas_sep4d.py:_tap_group); "s2d" runs the
+      phase-packed dense conv (nn_ext.conv_phase_s2d); "im2col"
+      materializes the K=250 column matrix in XLA; "xla" keeps the
+      direct conv.
+    - ``fuse_mids``: c6-c7, c9-c10, c11-c12 as fused VMEM banded stacks
+      (one HBM round-trip per segment) when hw >= 1024.
+    - The strided downs, transposed ups, and 128²/256² segments always
+      keep the plain XLA lowering (reference model_dfpn.py:677-743).
+    """
+    from master_thesis_tpu.models.nn_ext import Conv, ConvTranspose2dTorch
+    from master_thesis_tpu.ops.pallas_sep4d import conv_stack_banded
+
+    b, f, h, w, c = x_refs.shape
+    x_t = jnp.broadcast_to(x_target[:, None], (b, f, h, w, c))
+    m_t = jnp.broadcast_to(m_target[:, None], (b, f, h, w, 1))
+    x = jnp.concatenate(
+        [x_refs, x_t, m_refs, m_t, flow_pre], axis=-1
+    ).reshape(b * f, h, w, 10).astype(dtype)
+
+    kk = lambda n: params[n]["kernel"]
+    bb = lambda n: params[n]["bias"]
+
+    def xla_conv(x, name, k, s=1, relu=True, feats=128):
+        y = Conv(
+            features=feats, kernel_size=(k, k), strides=(s, s),
+            padding=(k // 2, k // 2), dtype=dtype, use_s2d=False,
+        ).apply({"params": params[name]}, x)
+        return nn.relu(y) if relu else y
+
+    def xla_up(x, name, k, p):
+        y = ConvTranspose2dTorch(
+            features=128, kernel_size=(k, k), strides=(2, 2),
+            padding=(p, p), output_padding=(1, 1), dtype=dtype,
+            use_phase=False,
+        ).apply({"params": params[name]}, x)
+        return nn.relu(y)
+
+    def seg(x, names, ksizes):
+        if not fuse_mids or x.shape[1] * x.shape[2] < 1024:
+            for n, k in zip(names, ksizes):
+                x = xla_conv(x, n, k)
+            return x
+        return conv_stack_banded(
+            x, [kk(n) for n in names], [bb(n) for n in names],
+            [True] * len(names), interpret=interpret,
+        )
+
+    if c0_mode == "im2col":
+        x = nn.relu(_conv_im2col(x, kk("c0").astype(dtype), bb("c0")))
+    elif c0_mode == "s2d" and h % 2 == 0 and w % 2 == 0:
+        from master_thesis_tpu.models.nn_ext import conv_phase_s2d
+
+        x = nn.relu(
+            conv_phase_s2d(x, kk("c0"), 2, 2, 2, dtype) + bb("c0")
+        )
+    elif c0_mode == "pallas" and h * w >= 1024:
+        x = conv_stack_banded(
+            x, [kk("c0")], [bb("c0")], [True], interpret=interpret
+        )
+    else:
+        x = xla_conv(x, "c0", 5)
+    x = xla_conv(x, "c1", 3)
+    x = xla_conv(x, "c2", 5, s=2)
+    x = xla_conv(x, "c3", 5)
+    x = xla_conv(x, "c4", 3)
+    x = xla_conv(x, "c5", 3, s=2)
+    x = seg(x, ["c6", "c7"], [5, 3])
+    x = xla_conv(x, "c8", 3, s=2)
+    x = seg(x, ["c9", "c10"], [5, 3])
+    x = xla_up(x, "t0", 3, 1)
+    x = seg(x, ["c11", "c12"], [5, 3])
+    x = xla_up(x, "t1", 3, 1)
+    x = xla_conv(x, "c13", 5)
+    x = xla_conv(x, "c14", 3)
+    x = xla_up(x, "t2", 5, 2)
+    x = xla_conv(x, "c15", 5)
+    x = xla_conv(x, "c16", 3)
+    x = xla_conv(x, "c17", 3, relu=False, feats=2)
+    return x.reshape(b, f, h, w, 2)
+
+
 def dfpn_infer_apply(
     variables,
     x_target: jnp.ndarray,
@@ -380,14 +517,25 @@ def dfpn_infer_apply(
     pallas_sep4d: bool = False,
     pallas_mixer: bool = True,
     pallas_flow: bool = False,
+    hybrid_flow: bool = False,
+    hybrid_fuse_mids: bool = True,
+    hybrid_c0_mode: str = "pallas",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pure-function DFPN forward for serving: ``DFPN.__call__`` with each
     stage on its measured-fastest path. On-chip (v5e, config-4 shapes) the
-    fused Pallas kernels win only for the correlation mixer (1.4 vs 2.3 ms);
-    the separable 4-D conv (35.5 vs 28.8 ms) and the flow estimators (55.9
-    vs 34.9 ms) run faster as XLA convs with the stride-folding rewrites
-    (models/nn_ext.py), so those default to the flax-module paths — see
-    BENCH_NOTES.md. The losing kernels stay available behind the flags.
+    fused Pallas kernels win only for the correlation mixer (1.4 vs
+    2.3 ms); the separable 4-D conv (35.5 vs 28.8 ms) and the flow
+    estimators run faster as XLA convs. The r4 hybrid estimator
+    (``flow_estimator_apply_hybrid``) won its STANDALONE A/B decisively
+    (29.0 vs 50.4 ms at N=20 @256², scripts/measure/flow_hybrid_ab.py)
+    but is a wash IN-GRAPH (align 67.99 vs 66.94 ms,
+    scripts/measure/dfpn_serving_ab.py): inside the full align program
+    XLA's fusion already runs the starved segments near the hybrid's
+    speed — the standalone baseline was layout-pessimized at the jit
+    boundary. Production therefore keeps the plain module; the hybrid
+    and the r3 all-Pallas estimator stay behind ``hybrid_flow=`` /
+    ``pallas_flow`` (``pallas_flow`` takes precedence when both are
+    set) — see BENCH_NOTES.md.
 
     Identical math and identical param tree to the flax module; parity is
     tested against ``DFPN.apply`` (tests/test_pallas_sep4d.py).
@@ -449,6 +597,11 @@ def dfpn_infer_apply(
         if pallas_flow:
             return flow_estimator_apply_pallas(
                 p[name], *args, dtype=dtype, interpret=interpret
+            )
+        if hybrid_flow:
+            return flow_estimator_apply_hybrid(
+                p[name], *args, dtype=dtype, interpret=interpret,
+                fuse_mids=hybrid_fuse_mids, c0_mode=hybrid_c0_mode,
             )
         return FlowEstimator(dtype=dtype).apply({"params": p[name]}, *args)
 

@@ -140,6 +140,67 @@ def strided_conv_s2d(x, kernel, s: int, pad_h: int, pad_w: int, dtype):
     )
 
 
+def conv_phase_s2d(
+    x, kernel, s: int, pad_h: int, pad_w: int, dtype,
+    shuffle_out: bool = True,
+):
+    """Stride-1 k×k conv as s2d(``s``) → one dense low-res conv → pixel
+    shuffle: BOTH sides phase-packed (``strided_conv_s2d`` packs only the
+    input — it needs stride ``s`` to keep the output at low res).
+
+    Exact regrouping for thin-``Cin`` stride-1 convs: the contraction
+    deepens to ``s²·Cin`` and the output widens to ``s²·Cout`` at
+    ``1/s²`` the positions — same products, MXU-dense, and still inside
+    XLA's fusion scope. Measured r4 status: WINS standalone where the
+    direct lowering starves (the flow estimator's Cin=10 c0 profiled
+    ~13 TFLOP/s standalone) but LOSES in-graph (full align 71.6 vs
+    66.9 ms, scripts/measure/dfpn_serving_ab.py) — in context XLA
+    already covers the thin conv; kept as a candidate behind
+    ``c0_mode="s2d"`` / ``vgg_pool4_hybrid``.
+
+    Identity: ``y[s·i+py, s·j+px] = Σ_{u,v} k[u,v]·x[s·i+py+u-p, ...]``
+    and ``s·i+py+u-p = s·(i+a)+qy`` pins each original tap ``u`` to one
+    (low-res tap ``a``, input phase ``qy``) pair per output phase — a
+    ``⌈(k+s-1)/s⌉``-tap dense conv over ``(qy,qx,c)``-packed channels.
+
+    ``shuffle_out=False`` returns the phase-packed ``(N, H/s, W/s,
+    s²·Cout)`` map (channel order ``(py, px, o)``) so callers can absorb
+    the un-shuffle — e.g. a following 2×2 max-pool IS a max over the
+    phase groups.
+    """
+    b, hh, ww, c = x.shape
+    kh, kw, _, o = kernel.shape
+    x4 = x.reshape(b, hh // s, s, ww // s, s, c).transpose(0, 1, 3, 2, 4, 5)
+    x4 = x4.reshape(b, hh // s, ww // s, s * s * c)
+    lo_y, hi_y = (0 - pad_h) // s, (s - 1 + kh - 1 - pad_h) // s
+    lo_x, hi_x = (0 - pad_w) // s, (s - 1 + kw - 1 - pad_w) // s
+    w4 = jnp.zeros(
+        (hi_y - lo_y + 1, hi_x - lo_x + 1, s, s, c, s, s, o), kernel.dtype
+    )
+    for py in range(s):
+        for ky in range(kh):
+            a_y, q_y = divmod(py + ky - pad_h, s)
+            for px in range(s):
+                for kx in range(kw):
+                    a_x, q_x = divmod(px + kx - pad_w, s)
+                    w4 = w4.at[a_y - lo_y, a_x - lo_x, q_y, q_x, :, py, px].set(
+                        kernel[ky, kx]
+                    )
+    w4 = w4.reshape(hi_y - lo_y + 1, hi_x - lo_x + 1, s * s * c, s * s * o)
+    y4 = jax.lax.conv_general_dilated(
+        x4.astype(dtype), w4.astype(dtype),
+        window_strides=(1, 1),
+        padding=((-lo_y, hi_y), (-lo_x, hi_x)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if not shuffle_out:
+        return y4
+    n, h4, w4_, c4 = y4.shape
+    y4 = y4.reshape(n, h4, w4_, s, s, o).transpose(0, 1, 3, 2, 4, 5)
+    return y4.reshape(n, h4 * s, w4_ * s, o)
+
+
 class Conv(nn.Module):
     """2-D conv (NHWC, cross-correlation) with explicit symmetric padding.
 

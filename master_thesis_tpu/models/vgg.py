@@ -68,6 +68,57 @@ def vgg_pool4_pallas(
     return x
 
 
+def vgg_pool4_hybrid(
+    params: dict,
+    x: jnp.ndarray,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pool-4 features with block 1 rewritten as a phase-s2d conv +
+    phase max; blocks 2-4 stay plain XLA convs. A measured r4 CANDIDATE,
+    NOT production: in-graph it LOST (full align 75.8 vs 67.2 ms,
+    scripts/measure/dfpn_serving_ab.py), like every other block-1
+    candidate — the standalone attribution that showed block 1 at
+    4.18 ms / ~29 TFLOP/s (align_inner_decomp.py) was a jit-boundary
+    artifact; in context XLA already runs it near its floor. Kept
+    in-tree, parity-tested, for future compiler/silicon re-flips.
+
+    The rewrite itself: conv1_2 as an exact phase-s2d regrouping
+    (``nn_ext.conv_phase_s2d``: Cin 64→256, Cout 64→256 at 128²) whose
+    phase-packed output makes the following 2×2 max-pool a free max over
+    the phase groups — no un-shuffle, no 256²·64 map materialized.
+    ``x`` ALREADY ImageNet-normalized. ``interpret`` is accepted for
+    signature parity with ``vgg_pool4_pallas`` (no Pallas here).
+    """
+    from master_thesis_tpu.models.nn_ext import conv_phase_s2d
+
+    x = x.astype(dtype)
+    x = nn.relu(
+        Conv(
+            features=64, kernel_size=(3, 3), padding=(1, 1), dtype=dtype
+        ).apply({"params": params["conv_0"]}, x)
+    )
+    y4 = conv_phase_s2d(
+        x, params["conv_1"]["kernel"], 2, 1, 1, dtype, shuffle_out=False
+    )
+    y4 = nn.relu(y4 + jnp.tile(params["conv_1"]["bias"], 4))
+    n, h4, w4, _ = y4.shape
+    x = jnp.max(y4.reshape(n, h4, w4, 4, 64), axis=3)
+    conv_idx = 2
+    for v in VGG16_CFG[3:14]:  # blocks 2-4 of cfg 'D' (through the 4th 'M')
+        if v == "M":
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        else:
+            x = nn.relu(
+                Conv(
+                    features=v, kernel_size=(3, 3), padding=(1, 1),
+                    dtype=dtype,
+                ).apply({"params": params[f"conv_{conv_idx}"]}, x)
+            )
+            conv_idx += 1
+    return x
+
+
 class VGGFeatures(nn.Module):
     """VGG-16 feature tower returning the 5 post-pool maps (NHWC)."""
 

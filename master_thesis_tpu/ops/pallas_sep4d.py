@@ -60,18 +60,29 @@ def _tap_masks_r(w_img: int, hw: int, r: int) -> np.ndarray:
     return masks
 
 
+def _tap_group(cin: int, ksize: int) -> int:
+    """Taps stacked per matmul: K = group*Cin. Wide inputs keep the
+    3-tap groups (K = 384 at Cin=128); thin inputs (e.g. the flow
+    estimator's 10-channel c0, the sep4d stage-1 single channel) fold
+    MORE taps so the MXU contraction depth stays near-full instead of
+    ~Cin/128 — bounded by the scratch the stack kernels allocate
+    (3*cmax rows, cmax >= Cout >= 128 in every caller)."""
+    return max(3, min(ksize * ksize, 384 // max(cin, 1)))
+
+
 def _accum_taps_tile(
     src, w_flat, masks_ref, w_img, ksize=3, mask_r=1, scratch_ref=None
 ):
     """(Cout, hw) f32 = ``ksize``² conv of one ``(Cin, hw)`` tile via
-    3-tap groups (K = 3*Cin per matmul — full MXU contraction depth).
+    tap groups (K = group*Cin per matmul — full MXU contraction depth;
+    see :func:`_tap_group`).
 
     ``masks_ref`` holds radius-``mask_r`` validity planes (dy-major); the
     conv's own radius may be smaller. Rolls run in f32 (Mosaic's rotate is
     32-bit only); each group's stack is cast to the weights' dtype at its
     matmul. The center tap needs no mask.
 
-    ``scratch_ref``: optional ``(>=3*Cin, hw)`` f32 VMEM scratch. When
+    ``scratch_ref``: optional ``(>=group*Cin, hw)`` f32 VMEM scratch. When
     given, each group's taps are stored to it and read back instead of
     ``jnp.concatenate``-d: a roll lowers to a *lazily offset* vector
     layout, and Mosaic cannot concatenate operands whose lane offsets
@@ -91,9 +102,10 @@ def _accum_taps_tile(
     prec = (
         jax.lax.Precision.HIGHEST if w_flat.dtype == jnp.float32 else None
     )
+    gt = _tap_group(cin, ksize)
     acc = None
-    for g0 in range(0, len(taps_all), 3):
-        group = taps_all[g0 : g0 + 3]
+    for g0 in range(0, len(taps_all), gt):
+        group = taps_all[g0 : g0 + gt]
         taps = []
         for dy, dx in group:
             off = dy * w_img + dx
@@ -278,6 +290,10 @@ def conv_stack_banded(
     mask_r = max(radii)
     spec = tuple((k.shape[0], r) for k, r in zip(kernels, relus))
     cmax = max([cin] + [k.shape[-1] for k in kernels])
+    scratch_rows = max(
+        [3 * cmax]
+        + [_tap_group(k.shape[2], k.shape[0]) * k.shape[2] for k in kernels]
+    )
     br = band_rows or (_stack_band_rows(cmax, w) - 2 * halo)
     br = max(min(br, h), 1)
     n_bands = -(-h // br)
@@ -316,7 +332,7 @@ def conv_stack_banded(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, n_bands, cout, bhw), x.dtype),
-        scratch_shapes=[pltpu.VMEM((3 * cmax, bhw), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((scratch_rows, bhw), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

@@ -34,11 +34,11 @@ def pool4(x):
     return vgg_apply(x, normalize_input=False)[3]
 
 
-def make_align(apply_fn):
+def make_align(apply_fn, pool4_fn=pool4):
     def align_fn(x_t, m_t, x_r, m_r):
         b, f, h, w, _ = x_r.shape
-        feats_t = pool4(prepare_vgg_input(x_t, size=model.base_size))
-        feats_r = pool4(prepare_vgg_input(x_r.reshape(b * f, h, w, 3), size=model.base_size))
+        feats_t = pool4_fn(prepare_vgg_input(x_t, size=model.base_size))
+        feats_r = pool4_fn(prepare_vgg_input(x_r.reshape(b * f, h, w, 3), size=model.base_size))
         feats_r = feats_r.reshape(b, f, *feats_r.shape[1:])
         return dfpn_align(
             apply_fn, params, x_t, m_t, x_r, m_r, feats_t, feats_r,
@@ -57,14 +57,29 @@ def timeit(fn):
     return (time.perf_counter() - t0) / ITERS * 1e3
 
 
+from master_thesis_tpu.models.vgg import vgg_pool4_hybrid
+
+
+def pool4_blk1_fused(x):
+    return vgg_pool4_hybrid(vgg_apply.params["params"], x, dtype=jnp.bfloat16)
+
+
 variants = {
-    "module (r2 path)": lambda p, *a: model.apply(p, *a),
+    "module (r2 path)": (lambda p, *a: model.apply(p, *a), pool4),
 }
-for name, kw in (
-    ("twin defaults (mixer=P)", {}),
-    ("twin all-XLA", {"pallas_mixer": False}),
-    ("twin sep4d=P", {"pallas_sep4d": True}),
-    ("twin flow=P", {"pallas_flow": True}),
+for name, kw, p4 in (
+    ("twin defaults (mixer=P)", {}, pool4),
+    ("twin all-XLA", {"pallas_mixer": False, "hybrid_flow": False}, pool4),
+    ("twin sep4d=P", {"pallas_sep4d": True}, pool4),
+    ("twin flow=P", {"pallas_flow": True}, pool4),
+    ("twin hybrid mids+c0P", {"hybrid_flow": True}, pool4),
+    ("twin c0-only Pallas", {"hybrid_flow": True, "hybrid_fuse_mids": False}, pool4),
+    ("twin c0-only s2d",
+     {"hybrid_flow": True, "hybrid_fuse_mids": False, "hybrid_c0_mode": "s2d"},
+     pool4),
+    ("twin c0-s2d + vggblk1",
+     {"hybrid_flow": True, "hybrid_fuse_mids": False, "hybrid_c0_mode": "s2d"},
+     pool4_blk1_fused),
 ):
     def mk(kw):
         def f(p, *a):
@@ -73,11 +88,11 @@ for name, kw in (
                 use_softmax=model.use_softmax, **kw,
             )
         return f
-    variants[name] = mk(kw)
+    variants[name] = (mk(kw), p4)
 
-for name, apply_fn in variants.items():
+for name, (apply_fn, p4) in variants.items():
     try:
-        dt = timeit(make_align(apply_fn))
+        dt = timeit(make_align(apply_fn, p4))
         print(f"{name:28s}: {dt:7.2f} ms", flush=True)
     except Exception as e:
         print(f"{name:28s}: FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)

@@ -153,6 +153,57 @@ def test_flow_estimator_pallas_matches_module(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(),  # r4 default schedule: Pallas c0 + fused mids
+        dict(fuse_mids=False, c0_mode="pallas"),
+        dict(fuse_mids=False, c0_mode="im2col"),
+        dict(fuse_mids=False, c0_mode="xla"),
+    ],
+    ids=["mids+c0P", "c0-pallas", "c0-im2col", "c0-xla"],
+)
+def test_flow_estimator_hybrid_matches_module(rng, kw):
+    """flow_estimator_apply_hybrid == FlowEstimator.apply at 128² — large
+    enough that the fused segments engage (c0 at 128², c6-c7 and c11-c12
+    at 32² ≥ the hw=1024 threshold) while c9-c10 at 16² keep XLA,
+    exercising both sides of the per-resolution split; parameterized over
+    the c0 fusion modes (the in-graph A/B's candidates,
+    scripts/measure/dfpn_serving_ab.py)."""
+    from master_thesis_tpu.models.dfpn import (
+        FlowEstimator,
+        flow_estimator_apply_hybrid,
+    )
+
+    b, f, h, w = 1, 1, 128, 128
+    mod = FlowEstimator(dtype=jnp.float32)
+    x_t = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    m_t = jnp.asarray((rng.rand(b, h, w, 1) > 0.8).astype(np.float32))
+    x_r = jnp.asarray(rng.rand(b, f, h, w, 3).astype(np.float32))
+    m_r = jnp.asarray((rng.rand(b, f, h, w, 1) > 0.8).astype(np.float32))
+    fp = jnp.asarray(rng.randn(b, f, h, w, 2).astype(np.float32) * 0.1)
+    params = mod.init(jax.random.PRNGKey(0), x_t, m_t, x_r, m_r, fp)["params"]
+    want = mod.apply({"params": params}, x_t, m_t, x_r, m_r, fp)
+    got = flow_estimator_apply_hybrid(
+        params, x_t, m_t, x_r, m_r, fp, dtype=jnp.float32, interpret=True,
+        **kw,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_vgg_pool4_hybrid_matches_module(rng):
+    """vgg_pool4_hybrid (block-1 fused, blocks 2-4 XLA) == the module's
+    pool-4 map (f32, interpret)."""
+    from master_thesis_tpu.models.vgg import VGGFeatures, vgg_pool4_hybrid
+
+    vgg = VGGFeatures(dtype=jnp.float32)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    vp = vgg.init(jax.random.PRNGKey(1), x)
+    want = vgg.apply(vp, x, normalize_input=False)[3]
+    got = vgg_pool4_hybrid(vp["params"], x, dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
 def test_vgg_pool4_pallas_matches_module(rng):
     """vgg_pool4_pallas == VGGFeatures.apply(...)[3] (f32, interpret) —
     four banded conv segments + XLA max-pools."""
