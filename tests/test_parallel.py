@@ -16,6 +16,17 @@ import pytest
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Every subprocess gets the persistent CPU compile cache: these tests jit
+# multi-device programs from scratch in a fresh interpreter, and on a
+# 1-core host a cold compile of the DFPN DP+SP step plus two jitted grads
+# does not fit a fixed wall budget (r4 regression: the test timed out at
+# 600 s). Warm-cache reruns are seconds.
+_PREAMBLE = (
+    "import os as _os\n"
+    "from master_thesis_tpu.cache import enable_compilation_cache as _ecc\n"
+    f"_ecc(_os.path.join({_REPO!r}, '.jax_cache_cpu'))\n"
+)
+
 
 def _run_clean(code: str, timeout: int = 600) -> str:
     env = dict(os.environ)
@@ -24,7 +35,7 @@ def _run_clean(code: str, timeout: int = 600) -> str:
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     env.pop("MTT_TESTS_REEXEC", None)
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        [sys.executable, "-c", _PREAMBLE + code],
         env=env, capture_output=True, text=True, timeout=timeout,
     )
     assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
@@ -126,7 +137,16 @@ print("DP-SP-STEP-OK")
 
 def test_dfpn_train_step_dp_sp_matches_unsharded():
     """DFPN is the sharding-hostile graph (4D correlation + 3 warps +
-    transposed convs): the DP+SP step must match the unsharded step."""
+    transposed convs): the DP+SP step must match the unsharded step.
+
+    Geometry note (r5): b=4 on a data=2 x model=2 mesh, NOT the CHN test's
+    b=8 x (4, 2). This test compiles four DFPN programs and executes two of
+    them 4-way SPMD on this 1-core host; at b=8/(4,2) the cold compile blew
+    the 600 s budget (r4 red gate) and warm cache-hit runs tripped XLA:CPU's
+    hard 40 s collective-rendezvous skew limit (one core time-slicing 8
+    device threads, each shard tens of seconds of conv work before the
+    all-gather). The partitioning logic under test (DP batch + SP refs) is
+    the same at (2, 2)."""
     out = _run_clean(
         """
 import jax, jax.numpy as jnp, numpy as np
@@ -141,7 +161,7 @@ from master_thesis_tpu.train import dfpn_task, state as state_lib
 rng = np.random.RandomState(0)
 cfg = Config(lr=1e-3)
 base, h, w = 64, 32, 32
-b, f = 8, 3
+b, f = 4, 3
 feat = base // 16
 dfpn = DFPN(base_size=base)
 z = jnp.zeros
@@ -167,7 +187,7 @@ st1, items1 = dfpn_task.make_train_step(dfpn.apply, vgg_apply, base_size=base)(
     st_a, jnp.asarray(x), jnp.asarray(m), jnp.asarray(y),
     jnp.asarray(flow_gt), jnp.asarray(flows_use))
 
-mesh = make_mesh(data=4, model=2)
+mesh = make_mesh(data=2, model=2)
 step = dfpn_task.make_train_step(
     dfpn.apply, vgg_apply, base_size=base,
     ref_sharding=NamedSharding(mesh, P("data", "model")))
@@ -199,7 +219,8 @@ g2 = jax.jit(jax.grad(lambda p, *a: loss_of(p, *a, constrain)))(
 for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-3)
 print("DFPN-DP-SP-STEP-OK")
-"""
+""",
+        timeout=1800,
     )
     assert "DFPN-DP-SP-STEP-OK" in out
 
@@ -265,10 +286,8 @@ def test_production_shape_sharded_compile():
     pointless, so ``.lower().compile()`` only."""
     out = _run_clean(
         """
-import os
 import jax, jax.numpy as jnp, numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
-from master_thesis_tpu.cache import enable_compilation_cache
 from master_thesis_tpu.config import Config
 from master_thesis_tpu.models.chn import CHN
 from master_thesis_tpu.models.dfpn import DFPN
@@ -276,10 +295,6 @@ from master_thesis_tpu.models.vgg import VGGFeatures
 from master_thesis_tpu.parallel import make_mesh
 from master_thesis_tpu.train import chn_task, dfpn_task, state as state_lib
 
-import master_thesis_tpu
-enable_compilation_cache(os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(master_thesis_tpu.__file__))),
-    ".jax_cache_cpu"))
 cfg = Config(lr=1e-3)
 mesh = make_mesh(data=4, model=2)
 repl = NamedSharding(mesh, P())
