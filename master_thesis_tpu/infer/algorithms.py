@@ -25,8 +25,12 @@ more than a whole batched refine).
 - ``inpaint_cp`` (copy-and-propagate, reference :193-254): N passes over
   alternating frame parities; within a pass, active frames only read
   neighbors outside the updated set, so each (pass, ±s) half-step is one
-  batched refine over all active frames (``lax.cond``-skipped when the
-  active set is empty, as the reference's ``continue``).
+  batched refine over the active frames (``lax.cond``-skipped when the
+  active set is empty, as the reference's ``continue``). The possible
+  target set per (parity, ±s) half-step is static — frames of that parity
+  class with an in-range neighbor — so each half-step gathers exactly
+  that compact set (width C ≈ fp/2) instead of refining the whole padded
+  bucket and masking: the same active-frame compaction ff uses.
 
 Numerical semantics per refine step are the reference's exactly: shrink the
 mask by the visibility map, refill with the composite + gray fill, stop at
@@ -246,9 +250,15 @@ class Inpainter:
         return run
 
     def inpaint_ff_host(
-        self, x: np.ndarray, m: np.ndarray, s: int = 1, D: int = 20, e: float = 1.0
+        self, x: np.ndarray, m: np.ndarray, s: int = 1, D: int = 20, e: float = 1.0,
+        compact: int = 0,
     ) -> np.ndarray:
-        """Host-loop twin of ``inpaint_ff`` (one refine call per round)."""
+        """Host-loop twin of ``inpaint_ff`` (one refine call per round).
+
+        ``compact`` is accepted for signature parity with :meth:`inpaint_ff`
+        and ignored: compaction only re-times the per-frame schedule, and ff
+        frames are independent (refs are the raw sequence), so per-frame
+        results are identical for every compact width."""
         F = x.shape[0]
         x_dev = jnp.asarray(x)
         m_dev = jnp.asarray(m)
@@ -403,38 +413,57 @@ class Inpainter:
         as_numpy: bool = True,
     ) -> np.ndarray:
         """Copy-and-propagate (reference :193-254): N alternating-parity
-        passes, each half-step batched over all active frames."""
+        passes, each half-step one batched refine over the COMPACT static
+        target set of that (parity, ±s) half-step — frames of the pass's
+        parity class whose ±s neighbor is in range (width C ≈ fp/2, vs the
+        whole padded bucket before r5; at F=12/fp=16 that's 6 refines per
+        half-step instead of 16). Per-frame membership of the runtime
+        active set (``holes > 0``) is evaluated on the gathered batch, so
+        results are identical to the full-bucket schedule."""
         if not self.device_loops:
             return self.inpaint_cp_host(x, m, N, s, e)
         F = x.shape[0]
         fp = _bucket(F)
-        idx = np.arange(fp)
-        parity = np.stack([
-            np.asarray([(t // s) % (s if s > 1 else 2) == p for t in range(fp)])
+        modulus = s if s > 1 else 2
+        lists = [
+            [
+                t
+                for t in range(F)
+                if (t // s) % modulus == p and 0 <= t + d < F
+            ]
             for p in (0, 1)
-        ])  # (2, fp)
-        parity[:, F:] = False  # padded frames never refine
-        valid = np.stack([(idx + d >= 0) & (idx + d < F) for d in (-s, s)])
-        ref_idx = np.stack(
-            [np.clip(idx + d, 0, F - 1) for d in (-s, s)]
-        ).astype(np.int32)
+            for d in (-s, s)
+        ]
+        # Compact width bucketed to a multiple of 2 so nearby sequence
+        # lengths in the same frame bucket share one compile.
+        C = max(2, -(-max(len(tl) for tl in lists) // 2) * 2)
+        tgt_tab = np.full((2, 2, C), fp, np.int32)  # fp: dropped at scatter
+        ref_tab = np.zeros((2, 2, C), np.int32)
+        for p in (0, 1):
+            for d_i, d in enumerate((-s, s)):
+                tl = lists[p * 2 + d_i]
+                tgt_tab[p, d_i, : len(tl)] = tl
+                ref_tab[p, d_i, : len(tl)] = [t + d for t in tl]
         xp, mp = _pad_frames(x, m, fp)
         prog = self._program(
-            ("cp", (fp,) + x.shape[1:], N, e), lambda: self._cp_program(fp, N, e)
+            ("cp", (fp,) + x.shape[1:], N, e, C),
+            lambda: self._cp_program(fp, N, e),
         )
         out = prog(
-            jnp.asarray(xp), jnp.asarray(mp), jnp.asarray(parity),
-            jnp.asarray(valid), jnp.asarray(ref_idx),
+            jnp.asarray(xp), jnp.asarray(mp), jnp.asarray(tgt_tab),
+            jnp.asarray(ref_tab),
         )
         return np.asarray(out[:F]) if as_numpy else out[:F]
 
     def _cp_program(self, F: int, N: int, e: float) -> Callable:
-        """``run(x, m, parity (2,F), valid (2,F), ref_idx (2,F))`` — parity
-        classes and the ±s neighbor tables are runtime inputs (one compile
-        per bucket)."""
+        """``run(x, m, tgt_tab (2,2,C) i32, ref_tab (2,2,C) i32)`` — the
+        compact (parity, direction) target/neighbor tables are runtime
+        inputs (one compile per (bucket, C)). Slots padded with ``F`` are
+        inert: their gather reads a clamped frame with ``active=False``
+        (refine passes it through) and their scatter is dropped."""
 
         @jax.jit
-        def run(x, m, parity, valid, ref_idx):
+        def run(x, m, tgt_tab, ref_tab):
             def cond(st):
                 i, _, m_inp = st
                 holes = jnp.sum(m_inp, axis=(1, 2, 3))
@@ -442,23 +471,33 @@ class Inpainter:
 
             def body(st):
                 i, y_inp, m_inp = st
-                par = parity[i % 2]
+                p = jnp.remainder(i, 2)
                 for d_i in range(2):
-                    holes = jnp.sum(m_inp, axis=(1, 2, 3))
-                    active = par & valid[d_i] & (holes > 0)
+                    tgt = tgt_tab[p, d_i]  # (C,)
+                    ok = tgt < F
+                    safe = jnp.minimum(tgt, F - 1)
+                    ref = ref_tab[p, d_i]
+                    holes = jnp.sum(m_inp[safe], axis=(1, 2, 3))
+                    active = ok & (holes > 0)
 
-                    def half_step(args, d_i=d_i, active=active, i=i):
+                    def half_step(args, tgt=tgt, safe=safe, ref=ref,
+                                  active=active, i=i):
                         y_inp, m_inp = args
                         x_t, m_t, comp, hole_pct = self._refine_impl(
-                            y_inp, m_inp,
-                            y_inp[ref_idx[d_i]], m_inp[ref_idx[d_i]], active,
+                            y_inp[safe], m_inp[safe],
+                            y_inp[ref], m_inp[ref], active,
                         )
                         # Frames done (hole < e) or in the final two passes
                         # are finalized: mask zeroed, output = composite
                         # (reference :250-252).
                         finalize = active & ((hole_pct < e) | (i >= N - 2))
                         fin = finalize[:, None, None, None]
-                        return (jnp.where(fin, comp, x_t), jnp.where(fin, 0.0, m_t))
+                        xb = jnp.where(fin, comp, x_t)
+                        mb = jnp.where(fin, 0.0, m_t)
+                        return (
+                            y_inp.at[tgt].set(xb, mode="drop"),
+                            m_inp.at[tgt].set(mb, mode="drop"),
+                        )
 
                     y_inp, m_inp = jax.lax.cond(
                         jnp.any(active), half_step, lambda a: a, (y_inp, m_inp)

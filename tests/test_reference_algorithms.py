@@ -130,3 +130,19 @@ def test_inpaint_matches_reference(rng, algo, geom, pair):
     for impl in (dev, host):
         out = getattr(impl, f"inpaint_{algo}")(x, m, **kwargs)
         np.testing.assert_allclose(out, ref_out, atol=1e-4)
+
+
+def test_inpaint_ff_compaction_truncation_matches_reference(rng, pair):
+    """ff with a compact width narrower than the eligible set (C=2 over 6
+    frames: the gather truncates from the first iteration, VERDICT r4 weak
+    #4 — production F=12+ sequences run this branch) against the
+    reference's own per-frame loop."""
+    chn_t, dev, host = pair
+    g = GEOMS["s1_D20_64sq"]
+    x, m = _sequence(rng, h=g["h"], w=g["w"], static_hole=False)
+    x_t, m_t = _to_torch(x, m)
+    with torch.no_grad():
+        ref_out = _from_torch(chn_t.inpaint_ff(x_t.clone(), m_t.clone(), s=1, D=20))
+    for impl in (dev, host):
+        out = impl.inpaint_ff(x, m, s=1, D=20, compact=2)
+        np.testing.assert_allclose(out, ref_out, atol=1e-4)
