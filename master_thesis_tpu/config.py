@@ -62,6 +62,11 @@ class Config:
     # bounded double-bilinear deviation — PARITY.md). False = the
     # reference's warp-at->=2x-size-then-resize pipeline, pixel-exact.
     fast_simulator: bool = True
+    # Decode contiguous JPEG backgrounds at a reduced DCT scale when the
+    # image_resize target is covered by a fractional-scale decode
+    # (libjpeg scale_num; runtime/native.py). False = full-size decode,
+    # the reference's jpeg4py path (dataset.py:300-301), pixel-exact.
+    fast_decode: bool = True
     train_max_iterations: int = 2000
     validation_max_iterations: int = 200
 
@@ -163,6 +168,7 @@ class Config:
         parser.add_argument("--num_workers", type=int, default=0)
         parser.add_argument("--loader_processes", default=False, **boolean)
         parser.add_argument("--fast_simulator", default=True, **boolean)
+        parser.add_argument("--fast_decode", default=True, **boolean)
         parser.add_argument("--perceptual_grad", default=False, **boolean)
         parser.add_argument("--train_max_iterations", type=int, default=2000)
         parser.add_argument("--validation_max_iterations", type=int, default=200)

@@ -108,13 +108,17 @@ class ContentProvider:
 
     # -- decoding -----------------------------------------------------------
 
-    def _decode_bg(self, rel_path: str) -> np.ndarray:
+    def _decode_bg(self, rel_path: str, min_hw=None) -> np.ndarray:
+        """``min_hw=(h, w)``: the caller will resize the frame down to at
+        most this size, so the native path may decode at a reduced DCT
+        scale (libjpeg ``scale_num``; runtime/native.py:decode_jpeg) —
+        the scaled output always still covers ``min_hw``."""
         path = os.path.join(self.data_path, rel_path)
         if _native_runtime():
             from master_thesis_tpu.runtime import decode_jpeg
 
             try:
-                return decode_jpeg(path)
+                return decode_jpeg(path, min_hw=min_hw)
             except IOError:
                 pass  # non-JPEG background (e.g. PNG fixtures) -> cv2
         import cv2
@@ -145,19 +149,23 @@ class ContentProvider:
         first = int(self.items_limits[seq - 1]) if seq > 0 else 0
         return seq, item - first
 
-    def get_frame(self, item: int):
+    def get_frame(self, item: int, bg_min_hw=None):
         """Single frame -> ``(bg | None, mask | None, name)``."""
         seq, fi = self._locate(item)
         name = self.items_names[seq]
         bg_paths, mask_paths = self.dataset_meta[name]
-        y = self._decode_bg(bg_paths[fi]) if bg_paths is not None else None
+        y = (
+            self._decode_bg(bg_paths[fi], min_hw=bg_min_hw)
+            if bg_paths is not None
+            else None
+        )
         m = self._decode_mask(mask_paths[fi]) if mask_paths is not None else None
         return y, m, name
 
-    def get_items(self, frames_indexes: List[int]):
+    def get_items(self, frames_indexes: List[int], bg_min_hw=None):
         ys, ms = [], []
         for i in frames_indexes:
-            y, m, _ = self.get_frame(i)
+            y, m, _ = self.get_frame(i, bg_min_hw=bg_min_hw)
             ys.append(y)
             ms.append(m)
         y = np.stack(ys) if ys[0] is not None else None
@@ -166,12 +174,16 @@ class ContentProvider:
 
     # -- sequence / patch sampling -----------------------------------------
 
-    def get_sequence(self, sequence_index: int):
-        """Full clip for test-time inpainting (reference dataset.py:372-409)."""
+    def get_sequence(self, sequence_index: int, decode_size=None):
+        """Full clip for test-time inpainting (reference dataset.py:372-409).
+
+        ``decode_size``: the working resolution the caller resizes to
+        (image-resize mode) — lets the native JPEG path decode at a reduced
+        DCT scale that still covers it."""
         first = int(self.items_limits[sequence_index - 1]) if sequence_index > 0 else 0
         last = int(self.items_limits[sequence_index]) - 1
         frames_indexes = list(range(first, last + 1))
-        y, m = self.get_items(frames_indexes)
+        y, m = self.get_items(frames_indexes, bg_min_hw=decode_size)
         ref = y if y is not None else m
         gt_movement = np.zeros((len(frames_indexes), ref.shape[1], ref.shape[2], 2), np.float32)
         m_movement = (
@@ -183,20 +195,33 @@ class ContentProvider:
 
     def get_patch(
         self, frame_index: int, frames_n: int, use_simulator: bool, rng,
-        out_size=None,
+        out_size=None, decode_size=None,
     ):
+        """``out_size``: evaluate the simulator warp directly at this
+        resolution (fast-simulator mode). ``decode_size``: the working
+        resolution the caller resizes contiguous patches to (image-resize
+        mode) — enables DCT-scaled JPEG decode on the contiguous path
+        (the simulated path keeps full-size decode: its warp samples the
+        stored frame, so reducing the source would change the fast-
+        simulator deviation bound)."""
         if use_simulator and self.movement_simulator is not None:
             return self._get_patch_simulated(frame_index, frames_n, rng, out_size)
-        return self._get_patch_contiguous(frame_index, frames_n, rng)
-
-    def get_patch_random(
-        self, frames_n: int, use_simulator: bool, rng, out_size=None
-    ):
-        return self.get_patch(
-            rng.randint(0, len(self)), frames_n, use_simulator, rng, out_size
+        return self._get_patch_contiguous(
+            frame_index, frames_n, rng, decode_size=decode_size
         )
 
-    def _get_patch_contiguous(self, frame_index: int, frames_n: int, rng):
+    def get_patch_random(
+        self, frames_n: int, use_simulator: bool, rng, out_size=None,
+        decode_size=None,
+    ):
+        return self.get_patch(
+            rng.randint(0, len(self)), frames_n, use_simulator, rng, out_size,
+            decode_size,
+        )
+
+    def _get_patch_contiguous(
+        self, frame_index: int, frames_n: int, rng, decode_size=None
+    ):
         """Window of frames around a center (reference dataset.py:473-561)."""
         if not (frames_n % 2 == 1 or frames_n == 2):
             raise ValueError("frames_n must be 2 or an odd number")
@@ -221,7 +246,7 @@ class ContentProvider:
             after = post[::spacing] if frames_n > 2 else []
             frames_indexes = before + [frame_index] + after
 
-        y, m = self.get_items(frames_indexes)
+        y, m = self.get_items(frames_indexes, bg_min_hw=decode_size)
         ref = y if y is not None else m
         gt_movement = np.zeros((len(frames_indexes), ref.shape[1], ref.shape[2], 2), np.float32)
         m_movement = (
@@ -340,15 +365,28 @@ class InpaintingDataset:
             if cfg.image_resize and getattr(cfg, "fast_simulator", True)
             else None
         )
+        # In image-resize mode contiguous backgrounds are resized straight
+        # down to the working resolution, so the native JPEG path may
+        # decode at a reduced DCT scale that still covers it
+        # (runtime/native.py:decode_jpeg; exact path via --fast_decode
+        # False decodes full frames like the reference's jpeg4py loop,
+        # dataset.py:300-301).
+        dec_out = (
+            self.image_size
+            if cfg.image_resize and getattr(cfg, "fast_decode", True)
+            else None
+        )
         if cfg.frames_n == -1:
-            y, m, bg_name, bg_indexes, gt_movement, m_movement = self.bgs.get_sequence(item)
+            y, m, bg_name, bg_indexes, gt_movement, m_movement = self.bgs.get_sequence(
+                item, decode_size=dec_out
+            )
         else:
             y, m, bg_name, bg_indexes, gt_movement, m_movement = self.bgs.get_patch(
-                item, cfg.frames_n, use_sim_bgs, rng, sim_out
+                item, cfg.frames_n, use_sim_bgs, rng, sim_out, dec_out
             )
             if self.masks is not None:
                 _, m, _, _, _, m_movement = self.masks.get_patch_random(
-                    cfg.frames_n, use_sim_masks, rng, sim_out
+                    cfg.frames_n, use_sim_masks, rng, sim_out, dec_out
                 )
 
         # Resize-or-crop to the working resolution (reference dataset.py:135-156).

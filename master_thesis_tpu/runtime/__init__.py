@@ -4,4 +4,5 @@ from master_thesis_tpu.runtime.native import (  # noqa: F401
     decode_jpeg,
     decode_mask_png,
     is_available,
+    jpeg_scale_num,
 )

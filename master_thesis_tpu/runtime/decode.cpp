@@ -98,6 +98,66 @@ int mtt_jpeg_decode_f32(const char* path, float* out, int32_t h, int32_t w) {
   return 0;
 }
 
+// Decodes an RGB JPEG at DCT-domain scale scale_num/8 (libjpeg-turbo
+// supports every N/8, N=1..16; N=8 is full size). The IDCT itself produces
+// the reduced-resolution image, so decoding at 5/8 skips ~60% of the IDCT
+// and color-conversion work — the reference's hot loop decodes full frames
+// only to immediately downscale them (dataset.py:300-301), which is wasted
+// host time when the training patch target is far below the stored frame.
+// out must hold buf_h*buf_w*3 floats; the actual scaled dimensions (the
+// library's own jdiv_round_up(dim*num/8)) are written to out_h/out_w.
+// Returns 0 on success; 4 if the scaled output exceeds the buffer (caller
+// falls back to the full-size decode).
+int mtt_jpeg_decode_scaled_f32(const char* path, float* out, int32_t buf_h,
+                               int32_t buf_w, int32_t scale_num,
+                               int32_t* out_h, int32_t* out_w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  jpeg_decompress_struct cinfo;
+  mtt_jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = mtt_jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return 2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = (unsigned int)scale_num;
+  cinfo.scale_denom = 8;
+  jpeg_start_decompress(&cinfo);
+  const int32_t h = (int32_t)cinfo.output_height;
+  const int32_t w = (int32_t)cinfo.output_width;
+  *out_h = h;
+  *out_w = w;
+  if (cinfo.output_components != 3) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return 3;
+  }
+  if (h > buf_h || w > buf_w) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return 4;
+  }
+  std::vector<uint8_t> row(static_cast<size_t>(w) * 3);
+  uint8_t* rowp = row.data();
+  const float inv = 1.0f / 255.0f;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    int y = cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    float* dst = out + static_cast<size_t>(y) * w * 3;
+    for (int i = 0; i < w * 3; ++i) dst[i] = rowp[i] * inv;
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // PNG (grayscale binary masks: value > 0 -> 1.0)
 // ---------------------------------------------------------------------------
@@ -235,6 +295,32 @@ static void mtt_grid_sample_rows(const float* x, const float* grid, float* out,
 }
 
 extern "C" {
+
+// Per-axis linear resize, bit-exact native twin of the host pipeline's
+// ops/interp.py:resize_hw_np bilinear branch: the caller precomputes the
+// tap tables (idx0, idx1, w1 = interp._linear_taps) and the kernel
+// evaluates out = x0*(1-w) + x1*w in f32, the same op order as the numpy
+// expression (no FMA contraction at the SSE2 baseline this builds at).
+// The array is viewed as (outer, in_size, inner) around the resized axis.
+int mtt_resize_axis_linear_f32(const float* x, float* out, int64_t outer,
+                               int32_t in_size, int64_t inner,
+                               const int32_t* idx0, const int32_t* idx1,
+                               const float* w1, int32_t out_size) {
+  if (outer <= 0 || in_size <= 0 || inner <= 0 || out_size <= 0) return 1;
+  for (int64_t o = 0; o < outer; ++o) {
+    const float* xo = x + o * (int64_t)in_size * inner;
+    float* oo = out + o * (int64_t)out_size * inner;
+    for (int32_t i = 0; i < out_size; ++i) {
+      const float w = w1[i];
+      const float vw = 1.0f - w;
+      const float* r0 = xo + (int64_t)idx0[i] * inner;
+      const float* r1 = xo + (int64_t)idx1[i] * inner;
+      float* dst = oo + (int64_t)i * inner;
+      for (int64_t k = 0; k < inner; ++k) dst[k] = r0[k] * vw + r1[k] * w;
+    }
+  }
+  return 0;
+}
 
 // x: (N, H, W, C) f32 contiguous; grid: (N, OH, OW, 2) f32 normalized
 // (x, y) in [-1, 1]; out: (N, OH, OW, C) f32 (caller-allocated).

@@ -45,15 +45,15 @@ def _load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "mtt_grid_sample_bilinear_f32"):
-            # Stale build from before the warp kernel existed: rebuild once.
+        if not hasattr(lib, "mtt_resize_axis_linear_f32"):
+            # Stale build from before the newest kernel existed: rebuild once.
             if not build():
                 return None
             try:
                 lib = ctypes.CDLL(_SO_PATH)
             except OSError:
                 return None
-            if not hasattr(lib, "mtt_grid_sample_bilinear_f32"):
+            if not hasattr(lib, "mtt_resize_axis_linear_f32"):
                 return None
         for name in ("mtt_jpeg_probe", "mtt_png_probe"):
             getattr(lib, name).argtypes = [
@@ -67,6 +67,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32,
         ]
         lib.mtt_jpeg_decode_f32.restype = ctypes.c_int
+        lib.mtt_jpeg_decode_scaled_f32.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.mtt_jpeg_decode_scaled_f32.restype = ctypes.c_int
         lib.mtt_png_decode_mask_f32.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int32, ctypes.c_int32,
@@ -79,6 +85,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ]
         lib.mtt_grid_sample_bilinear_f32.restype = ctypes.c_int
+        lib.mtt_resize_axis_linear_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ]
+        lib.mtt_resize_axis_linear_f32.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -87,8 +100,35 @@ def is_available() -> bool:
     return _load() is not None
 
 
-def decode_jpeg(path: str) -> np.ndarray:
-    """JPEG -> float32 [0,1] (H, W, 3). Raises on failure."""
+def jpeg_scale_num(h: int, w: int, min_h: int, min_w: int) -> int:
+    """Smallest DCT scale numerator n (denominator 8) whose scaled decode
+    still covers ``(min_h, min_w)`` — i.e. ceil(dim*n/8) >= target on both
+    axes, so the downstream resize remains a shrink. 8 = full size.
+
+    n is capped at 5: measured on this libjpeg-turbo (2.1.5), the 6x6/7x7
+    per-block scaled IDCTs are non-SIMD C paths and decode SLOWER than the
+    SIMD full-size path (480x854 natural JPEG: n=6 2.34 ms vs full
+    1.82 ms; n=4 0.97, n=5 1.62 — BENCH_NOTES r5 host table), so a 6/8 or
+    7/8 reduction is worse than none."""
+    for n in range(1, 6):
+        if -(-h * n // 8) >= min_h and -(-w * n // 8) >= min_w:
+            return n
+    return 8
+
+
+def decode_jpeg(path: str, min_hw: Optional[tuple] = None) -> np.ndarray:
+    """JPEG -> float32 [0,1] (H, W, 3). Raises on failure.
+
+    ``min_hw=(h, w)``: decode at the smallest DCT-domain scale (n/8, the
+    libjpeg ``scale_num``/``scale_denom`` mechanism) that still covers the
+    target — the IDCT produces the reduced image directly, cutting decode
+    time roughly by the pixel ratio. The result is then meant to be resized
+    down to the target (the reference decodes full frames only to downscale
+    them, dataset.py:300-301); values differ from full-decode-then-resize
+    only by the interpolation of already-discarded detail (DCT truncation
+    is the *better* low-pass). Full-size output when no reduction covers
+    the target.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
@@ -97,6 +137,27 @@ def decode_jpeg(path: str) -> np.ndarray:
     p = path.encode()
     if lib.mtt_jpeg_probe(p, ctypes.byref(h), ctypes.byref(w)) != 0:
         raise IOError(f"jpeg probe failed: {path}")
+    if min_hw is not None:
+        n = jpeg_scale_num(h.value, w.value, min_hw[0], min_hw[1])
+        if n < 8:
+            bh = -(-h.value * n // 8)
+            bw = -(-w.value * n // 8)
+            out = np.empty((bh, bw, 3), np.float32)
+            oh = ctypes.c_int32()
+            ow = ctypes.c_int32()
+            rc = lib.mtt_jpeg_decode_scaled_f32(
+                p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                bh, bw, n, ctypes.byref(oh), ctypes.byref(ow),
+            )
+            if rc == 0:
+                # Rows are packed contiguously at the ACTUAL scaled width
+                # (== the computed buffer dims on libjpeg-turbo, but
+                # re-interpret rather than slice to stay correct if the
+                # library rounds the scale).
+                k = oh.value * ow.value * 3
+                return out.ravel()[:k].reshape(oh.value, ow.value, 3).copy()
+            # rc=4: library rounded the scale up past the buffer — fall
+            # through to the exact full-size decode.
     out = np.empty((h.value, w.value, 3), np.float32)
     rc = lib.mtt_jpeg_decode_f32(
         p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w
@@ -123,6 +184,40 @@ def decode_mask_png(path: str) -> np.ndarray:
     if rc != 0:
         raise IOError(f"png decode failed ({rc}): {path}")
     return out[..., None]
+
+
+def resize_axis_linear(
+    x: np.ndarray, axis: int, idx0: np.ndarray, idx1: np.ndarray,
+    w1: np.ndarray, out_size: int,
+) -> np.ndarray:
+    """Native per-axis linear resize, bit-exact with the numpy expression
+    ``take(x, idx0, axis)*(1-w1) + take(x, idx1, axis)*w1`` at f32
+    (ops/interp.py:resize_hw_np — the host pipeline's resize hot loop).
+    Raises when the native runtime is unavailable (callers fall back)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    x = np.ascontiguousarray(x, np.float32)
+    axis = axis % x.ndim
+    outer = int(np.prod(x.shape[:axis], dtype=np.int64))
+    inner = int(np.prod(x.shape[axis + 1 :], dtype=np.int64))
+    in_size = x.shape[axis]
+    out_shape = x.shape[:axis] + (int(out_size),) + x.shape[axis + 1 :]
+    out = np.empty(out_shape, np.float32)
+    idx0 = np.ascontiguousarray(idx0, np.int32)
+    idx1 = np.ascontiguousarray(idx1, np.int32)
+    w1 = np.ascontiguousarray(w1, np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.mtt_resize_axis_linear_f32(
+        x.ctypes.data_as(fp), out.ctypes.data_as(fp),
+        outer, in_size, inner,
+        idx0.ctypes.data_as(ip), idx1.ctypes.data_as(ip),
+        w1.ctypes.data_as(fp), int(out_size),
+    )
+    if rc != 0:
+        raise RuntimeError(f"resize_axis failed ({rc})")
+    return out
 
 
 def grid_sample_bilinear(x: np.ndarray, grid: np.ndarray, align_corners: bool) -> np.ndarray:

@@ -87,6 +87,10 @@ def main():
     t_dec, bg = timeit(bgs._decode_bg, bg_meta["s0"][0][0])
     print(f"decode_bg   (480x854 jpg)           : {t_dec*1e3:7.2f} ms"
           f"  {'(native C++)' if os.path.exists(os.path.join(os.path.dirname(__file__), '../../master_thesis_tpu/runtime')) else ''}")
+    t_decs, bgs_scaled = timeit(
+        bgs._decode_bg, bg_meta["s0"][0][0], min_hw=tuple(cfg.train_size)
+    )
+    print(f"decode_bg   scaled {bgs_scaled.shape[0]}x{bgs_scaled.shape[1]} (5/8 DCT) : {t_decs*1e3:7.2f} ms")
     t_decm, mk = timeit(masks._decode_mask, mask_meta["m0"][1][0])
     print(f"decode_mask (360x640 png)           : {t_decm*1e3:7.2f} ms")
 
@@ -96,10 +100,12 @@ def main():
     )
     print(f"simulated bg patch (decode+warp x{F}) : {t_sim*1e3:7.2f} ms")
     t_cont, _ = timeit(
-        lambda: bgs._get_patch_contiguous(20, F, np.random.RandomState(1)),
+        lambda: bgs._get_patch_contiguous(
+            20, F, np.random.RandomState(1), decode_size=tuple(cfg.train_size)
+        ),
         iters=10,
     )
-    print(f"contiguous bg patch ({F} decodes)     : {t_cont*1e3:7.2f} ms")
+    print(f"contiguous bg patch ({F} scaled dec)  : {t_cont*1e3:7.2f} ms")
     t_mask_patch, _ = timeit(
         lambda: masks.get_patch_random(F, True, np.random.RandomState(1),
                                        tuple(cfg.train_size)), iters=10
