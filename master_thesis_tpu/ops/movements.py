@@ -175,15 +175,37 @@ class MovementSimulator:
             return 2.0 * po / (osize - 1) - 1.0 if osize > 1 else pv * 0.0
 
         rh, rw = resized_hw if resized_hw is not None else (None, None)
-        gy_v, gx_v = np.meshgrid(norm(sy, hs), norm(sx, ws), indexing="ij")
-        flow = apply_theta(theta, gx_v, gy_v)
-        flow = np.stack(
-            [to_orig(flow[..., 0], ws, rw, w), to_orig(flow[..., 1], hs, rh, h)],
-            axis=-1,
-        ).astype(np.float32)
-        y = grid_sample_bilinear_np(
-            np.repeat(x[None], n, axis=0), flow, align_corners=True
-        )
+        gx1 = norm(sx, ws)
+        gy1 = norm(sy, hs)
+        y = None
+        if x.dtype == np.float32 and x.shape[-1] in (1, 2, 3):
+            # Fused native chain (runtime/decode.cpp:mtt_affine_warp_f32):
+            # apply_theta -> to_orig -> f32 round -> bilinear gather from
+            # the ONE shared source frame, evaluated per output pixel —
+            # bit-exact with the numpy chain below (same f64 op order,
+            # rounded to f32 exactly where astype rounds; asserted in
+            # tests/test_runtime.py) without materializing (n, oh, ow, 2)
+            # grids or repeating the source n times.
+            try:
+                from master_thesis_tpu.runtime import native as _native
+
+                y = _native.affine_warp(
+                    x, theta, gx1, gy1,
+                    (ws, -1.0 if rw is None else rw, w),
+                    (hs, -1.0 if rh is None else rh, h),
+                )
+            except Exception:
+                y = None
+        if y is None:
+            gy_v, gx_v = np.meshgrid(gy1, gx1, indexing="ij")
+            flow = apply_theta(theta, gx_v, gy_v)
+            flow = np.stack(
+                [to_orig(flow[..., 0], ws, rw, w), to_orig(flow[..., 1], hs, rh, h)],
+                axis=-1,
+            ).astype(np.float32)
+            y = grid_sample_bilinear_np(
+                np.repeat(x[None], n, axis=0), flow, align_corners=True
+            )
 
         # The ground-truth flow the reference would produce: computed at
         # virtual resolution, nearest-resized to out_size — exact here.

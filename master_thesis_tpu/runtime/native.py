@@ -45,7 +45,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "mtt_resize_axis_linear_f32"):
+        if not hasattr(lib, "mtt_affine_warp_f32"):
             # Stale build from before the newest kernel existed: rebuild once.
             if not build():
                 return None
@@ -53,7 +53,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 lib = ctypes.CDLL(_SO_PATH)
             except OSError:
                 return None
-            if not hasattr(lib, "mtt_resize_axis_linear_f32"):
+            if not hasattr(lib, "mtt_affine_warp_f32"):
                 return None
         for name in ("mtt_jpeg_probe", "mtt_png_probe"):
             getattr(lib, name).argtypes = [
@@ -92,6 +92,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
         ]
         lib.mtt_resize_axis_linear_f32.restype = ctypes.c_int
+        lib.mtt_affine_warp_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.mtt_affine_warp_f32.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -217,6 +228,47 @@ def resize_axis_linear(
     )
     if rc != 0:
         raise RuntimeError(f"resize_axis failed ({rc})")
+    return out
+
+
+def affine_warp(
+    x: np.ndarray, theta: np.ndarray, gxv: np.ndarray, gyv: np.ndarray,
+    x_orig: tuple, y_orig: tuple,
+) -> np.ndarray:
+    """Fused simulator warp: the grid chain of
+    ops/movements.py:simulate_movement_resized (apply_theta -> to_orig ->
+    f32 round) evaluated on the fly per output pixel, plus the bilinear
+    align_corners=True gather from ONE shared source frame. Bit-exact with
+    the numpy chain + :func:`grid_sample_bilinear` (tests/test_runtime.py).
+
+    x: (H, W, C) f32, C in {1, 2, 3}; theta: (N, 2, 3) f64;
+    gxv (OW) / gyv (OH): align_corners=True normalized output positions;
+    x_orig / y_orig: to_orig ``(vsize, rsize, osize)`` per axis with
+    rsize < 0 for the identity branch. Returns (N, OH, OW, C) f32.
+    Raises when the native runtime is unavailable (callers fall back)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    x = np.ascontiguousarray(x, np.float32)
+    theta = np.ascontiguousarray(theta, np.float64)
+    gxv = np.ascontiguousarray(gxv, np.float64)
+    gyv = np.ascontiguousarray(gyv, np.float64)
+    h, w, c = x.shape
+    n = theta.shape[0]
+    ow, oh = gxv.shape[0], gyv.shape[0]
+    out = np.empty((n, oh, ow, c), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = lib.mtt_affine_warp_f32(
+        x.ctypes.data_as(fp), h, w, c,
+        theta.ctypes.data_as(dp), n,
+        gxv.ctypes.data_as(dp), ow, gyv.ctypes.data_as(dp), oh,
+        float(x_orig[0]), float(x_orig[1]), float(x_orig[2]),
+        float(y_orig[0]), float(y_orig[1]), float(y_orig[2]),
+        out.ctypes.data_as(fp),
+    )
+    if rc != 0:
+        raise RuntimeError(f"affine_warp failed ({rc})")
     return out
 
 

@@ -120,6 +120,69 @@ def test_jpeg_scaled_decode_noop_when_target_large():
         np.testing.assert_array_equal(full, hinted)
 
 
+@pytest.mark.parametrize("c", [1, 3])
+@pytest.mark.parametrize(
+    "orig",
+    [
+        (None, None),   # identity to_orig both axes (rsize is None)
+        (200, 120),     # keep-ratio back-map both axes
+        (None, 96),     # mixed; 96 == h also hits the rsize == osize branch
+    ],
+)
+def test_affine_warp_native_bitexact(c, orig):
+    """The fused simulator warp (mtt_affine_warp_f32) is bit-exact with the
+    numpy chain it replaces: apply_theta (f64) -> to_orig (f64) ->
+    astype(f32) -> grid_sample_bilinear align_corners=True."""
+    rng = np.random.RandomState(4)
+    h, w, oh, ow, n = 96, 128, 40, 56, 4
+    x = rng.rand(h, w, c).astype(np.float32)
+    theta = np.stack(
+        [
+            np.asarray([[1.0, 0.02, 0.1], [-0.03, 0.98, -0.2]])
+            + rng.uniform(-0.1, 0.1, (2, 3))
+            for _ in range(n)
+        ]
+    ).astype(np.float64)
+    rw, rh = orig
+    ws, hs = int(w * 1.5), int(h * 1.5)  # virtual warp resolution
+    sx = np.clip((np.arange(ow) + 0.5) * (ws / ow) - 0.5, 0.0, ws - 1)
+    sy = np.clip((np.arange(oh) + 0.5) * (hs / oh) - 0.5, 0.0, hs - 1)
+    gx1 = 2.0 * sx / (ws - 1) - 1.0
+    gy1 = 2.0 * sy / (hs - 1) - 1.0
+
+    got = native.affine_warp(
+        x, theta, gx1, gy1,
+        (ws, -1.0 if rw is None else rw, w),
+        (hs, -1.0 if rh is None else rh, h),
+    )
+
+    def to_orig(pn, vsize, rsize, osize):
+        if rsize is None or rsize == osize:
+            return pn
+        pv = (pn + 1.0) * 0.5 * (vsize - 1)
+        po = (pv + 0.5) * (osize / rsize) - 0.5
+        return 2.0 * po / (osize - 1) - 1.0 if osize > 1 else pv * 0.0
+
+    gy_v, gx_v = np.meshgrid(gy1, gx1, indexing="ij")
+    ox = (
+        theta[:, None, None, 0, 0] * gx_v
+        + theta[:, None, None, 0, 1] * gy_v
+        + theta[:, None, None, 0, 2]
+    )
+    oy = (
+        theta[:, None, None, 1, 0] * gx_v
+        + theta[:, None, None, 1, 1] * gy_v
+        + theta[:, None, None, 1, 2]
+    )
+    flow = np.stack(
+        [to_orig(ox, ws, rw, w), to_orig(oy, hs, rh, h)], axis=-1
+    ).astype(np.float32)
+    want = native.grid_sample_bilinear(
+        np.repeat(x[None], n, axis=0), flow, True
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize(
     "shape,size,ac",
     [
